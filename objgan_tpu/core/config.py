@@ -1,0 +1,237 @@
+"""Typed configuration tree, loadable from reference-style yml files.
+
+The reference stages configure themselves with yaml + an ``easydict`` global
+``cfg`` mutated by ``cfg_from_file`` (AttnGAN lineage ``miscc/config.py``; the
+reference tree itself was unavailable — SURVEY.md §5 "Config/flag system").
+We keep the *same key names* (``TRAIN.FLAG``, ``TRAIN.BATCH_SIZE``,
+``GAN.DF_DIM``, ``TEXT.EMBEDDING_DIM``, ``TREE.BRANCH_NUM``, ...) so existing
+reference yml configs load unchanged, but expose them as a frozen, typed
+dataclass tree — no global mutable singleton, which keeps configs hashable and
+safe to close over in jitted functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields
+from typing import Any, Mapping, Tuple
+
+
+def _merge_into(dc, overrides: Mapping[str, Any]):
+    """Recursively apply a (possibly nested) dict of reference-style keys onto
+    a dataclass instance, returning a new instance. Unknown keys raise — the
+    same behavior as the lineage ``cfg_from_file``'s key check."""
+    known = {f.name: f for f in fields(dc)}
+    updates = {}
+    for key, value in overrides.items():
+        if key not in known:
+            raise KeyError(
+                f"{type(dc).__name__} has no config key {key!r} "
+                f"(known: {sorted(known)})"
+            )
+        current = getattr(dc, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, Mapping):
+            updates[key] = _merge_into(current, value)
+        else:
+            f = known[key]
+            # yml gives lists; tuples keep the config hashable for jit.
+            if isinstance(value, list):
+                value = tuple(value)
+            if f.type in ("float",) and isinstance(value, int):
+                value = float(value)
+            updates[key] = value
+    return dataclasses.replace(dc, **updates)
+
+
+@dataclass(frozen=True)
+class TreeConfig:
+    """Image pyramid: BRANCH_NUM scales starting at BASE_SIZE (64->128->256)."""
+
+    BRANCH_NUM: int = 3
+    BASE_SIZE: int = 64
+
+
+@dataclass(frozen=True)
+class SmoothConfig:
+    """DAMSM loss temperatures (paper eq. 10-12 of AttnGAN, reused by Obj-GAN)."""
+
+    GAMMA1: float = 4.0
+    GAMMA2: float = 5.0
+    GAMMA3: float = 10.0
+    LAMBDA: float = 50.0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    FLAG: bool = True
+    BATCH_SIZE: int = 16
+    MAX_EPOCH: int = 120
+    SNAPSHOT_INTERVAL: int = 5
+    DISCRIMINATOR_LR: float = 2e-4
+    GENERATOR_LR: float = 2e-4
+    ENCODER_LR: float = 2e-4
+    RNN_GRAD_CLIP: float = 0.25
+    B_NET_D: bool = True
+    NET_E: str = ""
+    NET_G: str = ""
+    SMOOTH: SmoothConfig = field(default_factory=SmoothConfig)
+
+
+@dataclass(frozen=True)
+class GanConfig:
+    DF_DIM: int = 64          # discriminator base width
+    GF_DIM: int = 32          # generator base width (AttnGAN lineage: 32/48)
+    Z_DIM: int = 100          # noise dim
+    CONDITION_DIM: int = 100  # CA-net output dim
+    R_NUM: int = 2            # residual blocks per NEXT_STAGE
+    B_ATTENTION: bool = True
+    B_DCGAN: bool = False
+
+
+@dataclass(frozen=True)
+class TextConfig:
+    CAPTIONS_PER_IMAGE: int = 5
+    EMBEDDING_DIM: int = 256  # text feature dim D
+    WORDS_NUM: int = 20       # max caption length T (padded/truncated)
+    VOCAB_SIZE: int = 27297   # COCO vocab of the lineage pipeline; overridable
+    RNN_TYPE: str = "LSTM"
+    HIDDEN_DIM: int = 128     # per-direction bi-LSTM hidden (2*128 == EMBEDDING_DIM)
+    GLOVE_DIM: int = 300
+
+
+@dataclass(frozen=True)
+class ObjConfig:
+    """Object/layout parameters — Obj-GAN additions over AttnGAN.
+
+    Everything object-shaped is statically padded to MAX_OBJECTS with a
+    validity mask, because XLA wants static shapes (SURVEY.md §7 hard part #1).
+    """
+
+    MAX_OBJECTS: int = 10
+    NUM_CLASSES: int = 81       # 80 COCO thing classes + background/STOP
+    ROI_SIZE: int = 7           # ROI-align output resolution (Fast R-CNN standard)
+    LABEL_DIM: int = 300        # GloVe label embedding dim
+    GMM_COMPONENTS: int = 20    # mixture components for the box distribution
+    SHAPE_SIZE: int = 64        # per-object mask resolution from stage B
+
+
+@dataclass(frozen=True)
+class BoxGenConfig:
+    """Stage A (box_generation) hyper-parameters (argparse ``opts.py`` lineage)."""
+
+    RNN_SIZE: int = 1024
+    INPUT_ENCODING_SIZE: int = 300   # GloVe word vectors
+    ATT_HID_SIZE: int = 512
+    MAX_SEQ_LENGTH: int = 10         # max generated objects
+    BEAM_SIZE: int = 1
+    TEMPERATURE: float = 0.4         # sampling temperature for labels
+    GMM_TEMPERATURE: float = 0.4     # temperature for box mixture sampling
+    SCHEDULED_SAMPLING_PROB: float = 0.0
+    LEARNING_RATE: float = 5e-4
+    GRAD_CLIP: float = 0.1
+
+
+@dataclass(frozen=True)
+class ShapeGenConfig:
+    """Stage B (shape_generation) hyper-parameters."""
+
+    GF_DIM: int = 64
+    DF_DIM: int = 64
+    HIDDEN_DIM: int = 128           # conv-LSTM channels
+    LAMBDA_PERCEPTUAL: float = 10.0
+    LAMBDA_FM: float = 10.0         # feature-matching weight (perceptual proxy)
+    LEARNING_RATE: float = 2e-4
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. Only the data axis is used for parity (SURVEY §2.5);
+    the model axis exists as the documented escape hatch for TP."""
+
+    DATA_AXIS: str = "data"
+    MODEL_AXIS: str = "model"
+    MODEL_PARALLELISM: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    CONFIG_NAME: str = "objgan"
+    DATA_DIR: str = "data/coco"
+    OUTPUT_DIR: str = "output"
+    GPU_ID: int = 0              # accepted for yml compatibility; unused on TPU
+    CUDA: bool = False           # accepted for yml compatibility; unused on TPU
+    WORKERS: int = 4
+    RNG_SEED: int = 100
+    B_VALIDATION: bool = False
+    DTYPE: str = "bfloat16"      # compute dtype; params/attn maps stay fp32
+    TREE: TreeConfig = field(default_factory=TreeConfig)
+    TRAIN: TrainConfig = field(default_factory=TrainConfig)
+    GAN: GanConfig = field(default_factory=GanConfig)
+    TEXT: TextConfig = field(default_factory=TextConfig)
+    OBJ: ObjConfig = field(default_factory=ObjConfig)
+    BOX: BoxGenConfig = field(default_factory=BoxGenConfig)
+    SHAPE: ShapeGenConfig = field(default_factory=ShapeGenConfig)
+    MESH: MeshConfig = field(default_factory=MeshConfig)
+
+    # -- derived helpers ---------------------------------------------------
+    @property
+    def branch_sizes(self) -> Tuple[int, ...]:
+        return tuple(
+            self.TREE.BASE_SIZE * (2**i) for i in range(self.TREE.BRANCH_NUM)
+        )
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def merged(self, overrides: Mapping[str, Any]) -> "Config":
+        return _merge_into(self, overrides)
+
+
+def cfg_from_file(path: str, base: Config | None = None) -> Config:
+    """Load a reference-style yml config and merge it over defaults.
+
+    Mirrors the lineage ``miscc/config.py:cfg_from_file`` contract (same key
+    names, unknown keys rejected) but returns an immutable typed tree instead
+    of mutating a global.
+    """
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    return (base or Config()).merged(raw)
+
+
+def cfg_from_dict(overrides: Mapping[str, Any], base: Config | None = None) -> Config:
+    return (base or Config()).merged(overrides)
+
+
+def tiny_test_config() -> Config:
+    """A miniature config for unit tests: same topology, tiny dims."""
+    return Config().merged(
+        {
+            "TRAIN": {"BATCH_SIZE": 2},
+            "GAN": {"DF_DIM": 8, "GF_DIM": 8, "Z_DIM": 16, "CONDITION_DIM": 16},
+            "TEXT": {
+                "EMBEDDING_DIM": 32,
+                "WORDS_NUM": 6,
+                "VOCAB_SIZE": 50,
+                "HIDDEN_DIM": 16,
+                "GLOVE_DIM": 16,
+            },
+            "OBJ": {
+                "MAX_OBJECTS": 3,
+                "NUM_CLASSES": 7,
+                "ROI_SIZE": 4,
+                "LABEL_DIM": 16,
+                "GMM_COMPONENTS": 4,
+                "SHAPE_SIZE": 16,
+            },
+            "BOX": {
+                "RNN_SIZE": 32,
+                "INPUT_ENCODING_SIZE": 16,
+                "ATT_HID_SIZE": 16,
+                "MAX_SEQ_LENGTH": 4,
+            },
+            "SHAPE": {"GF_DIM": 8, "DF_DIM": 8, "HIDDEN_DIM": 8},
+        }
+    )

@@ -1,0 +1,224 @@
+"""ROI-align for the object-wise Fast R-CNN discriminator.
+
+The reference vendors a CUDA ROI op for its object-wise discriminator
+(SURVEY.md §2.4; paper §3.4 — the reference tree itself was unavailable).
+On TPU we exploit that ROI boxes are axis-aligned, so bilinear ROI-align is
+*separable*: for each (image, box) the output is
+
+    out = A_y @ features @ A_x^T        (per channel)
+
+where ``A_y (R, H)`` / ``A_x (R, W)`` are per-box interpolation-and-average
+matrices folding the bilinear weights of all ``sampling_ratio`` sub-points of
+each output bin. No gathers, no dynamic shapes — two batched matmuls the MXU
+eats directly. Object count is statically padded to MAX_OBJECTS; invalid rows
+produce all-zero matrices, hence zero features.
+
+Two implementations with identical semantics (torchvision ``roi_align`` with
+``aligned=True``, verified by tests against the torch CPU oracle):
+
+  * :func:`roi_align_xla`    — einsum formulation; differentiable by XLA AD;
+    runs anywhere (CPU tests, interpret mode).
+  * :func:`roi_align_pallas` — Pallas TPU kernel, grid over (batch, object),
+    fp32 accumulation in VMEM, custom VJP whose backward is the transposed
+    pair of matmuls.
+
+Boxes are the framework-wide convention ``(x0, y0, w, h)`` normalized to
+[0, 1]. Gradients flow to ``features`` only; boxes come from the layout
+pipeline and are treated as constants (standard Fast R-CNN practice).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pool_matrix(out_n: int, src_n: int, origin, extent, sampling_ratio: int):
+    """Interpolation+average matrix A (..., out_n, src_n) for one axis.
+
+    origin/extent: box start/size in *normalized* coords, any batch shape.
+    Bin r averages ``sampling_ratio`` bilinear samples taken at
+       src = origin*src_n + (r*q + k + 0.5) * extent*src_n / (out_n*q) - 0.5
+    (torchvision ``aligned=True`` pixel-center convention). Samples outside
+    [-1, src_n] contribute zero; inside ones clamp to [0, src_n - 1].
+    """
+    q = sampling_ratio
+    fine_n = out_n * q
+    dtype = jnp.float32
+    origin = jnp.asarray(origin, dtype)
+    extent = jnp.asarray(extent, dtype)
+    i = lax.broadcasted_iota(dtype, (fine_n, src_n), 0)  # fine index
+    s = lax.broadcasted_iota(dtype, (fine_n, src_n), 1)  # source index
+    src = (
+        origin[..., None, None] * src_n
+        + (i + 0.5) * extent[..., None, None] * src_n / fine_n
+        - 0.5
+    )
+    inside = ((src >= -1.0) & (src <= src_n)).astype(dtype)
+    src_c = jnp.clip(src, 0.0, src_n - 1.0)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(src_c - s)) * inside
+    # fold the q-point average into the matrix: (..., out_n, q, src_n) -> mean
+    return jnp.mean(
+        w.reshape(*w.shape[:-2], out_n, q, src_n), axis=-2
+    )  # (..., out_n, src_n)
+
+
+# ---------------------------------------------------------------------------
+# XLA formulation
+# ---------------------------------------------------------------------------
+
+
+def roi_align_xla(
+    features: jnp.ndarray,  # (B, H, W, C) NHWC
+    boxes: jnp.ndarray,  # (B, O, 4) normalized (x0, y0, w, h)
+    out_size: int = 7,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """Separable ROI-align as two einsums. Returns (B, O, R, R, C)."""
+    _, h, w, _ = features.shape
+    boxes = lax.stop_gradient(boxes)
+    a_y = _pool_matrix(out_size, h, boxes[..., 1], boxes[..., 3], sampling_ratio)
+    a_x = _pool_matrix(out_size, w, boxes[..., 0], boxes[..., 2], sampling_ratio)
+    f = features.astype(jnp.float32)
+    t = jnp.einsum("boih,bhwc->boiwc", a_y, f)
+    out = jnp.einsum("bojw,boiwc->boijc", a_x, t)
+    return out.astype(features.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(box_ref, f_ref, out_ref, *, out_size, sampling_ratio, h, w, c):
+    x0 = box_ref[0, 0]
+    y0 = box_ref[0, 1]
+    bw = box_ref[0, 2]
+    bh = box_ref[0, 3]
+    a_y = _pool_matrix(out_size, h, y0, bh, sampling_ratio)  # (R, H)
+    a_x = _pool_matrix(out_size, w, x0, bw, sampling_ratio)  # (R, W)
+    f = f_ref[0].astype(jnp.float32)  # (H, W, C)
+    t = jax.lax.dot_general(  # (R, W, C): contract H
+        a_y, f, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    out = jax.lax.dot_general(  # (R, R, C): contract W of t with a_x
+        a_x, t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # -> (R_x, R_y, C)
+    out_ref[0, 0] = jnp.swapaxes(out, 0, 1).astype(out_ref.dtype)
+
+
+def _bwd_kernel(box_ref, g_ref, df_ref, *, out_size, sampling_ratio, h, w, c):
+    o = pl.program_id(1)
+
+    @pl.when(o == 0)
+    def _():
+        df_ref[0] = jnp.zeros_like(df_ref[0])
+
+    x0 = box_ref[0, 0]
+    y0 = box_ref[0, 1]
+    bw = box_ref[0, 2]
+    bh = box_ref[0, 3]
+    a_y = _pool_matrix(out_size, h, y0, bh, sampling_ratio)  # (R, H)
+    a_x = _pool_matrix(out_size, w, x0, bw, sampling_ratio)  # (R, W)
+    g = g_ref[0, 0].astype(jnp.float32)  # (R, R, C)
+    # df[y, x, c] = sum_{i,j} a_y[i, y] a_x[j, x] g[i, j, c]
+    t = jax.lax.dot_general(  # (H, R_j, C): contract R_i
+        a_y, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    d = jax.lax.dot_general(  # (W, H, C): contract R_j of t
+        a_x, t, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    df_ref[0] += jnp.swapaxes(d, 0, 1).astype(df_ref.dtype)
+
+
+# Tests flip this to run the Pallas kernels in interpreter mode on CPU.
+INTERPRET = False
+
+
+def _pallas_fwd(features, boxes, out_size, sampling_ratio):
+    b, h, w, c = features.shape
+    o = boxes.shape[1]
+    kernel = functools.partial(
+        _fwd_kernel, out_size=out_size, sampling_ratio=sampling_ratio, h=h, w=w, c=c
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, o),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i, j: (i * o + j, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, out_size, out_size, c), lambda i, j: (i, j, 0, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, o, out_size, out_size, c), features.dtype),
+        interpret=INTERPRET,
+    )(boxes.reshape(b * o, 4).astype(jnp.float32), features)
+
+
+def _pallas_bwd(boxes, out_size, sampling_ratio, f_shape, f_dtype, g):
+    b, h, w, c = f_shape
+    o = boxes.shape[1]
+    kernel = functools.partial(
+        _bwd_kernel, out_size=out_size, sampling_ratio=sampling_ratio, h=h, w=w, c=c
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, o),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i, j: (i * o + j, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 1, out_size, out_size, c), lambda i, j: (i, j, 0, 0, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(f_shape, f_dtype),
+        interpret=INTERPRET,
+    )(boxes.reshape(b * o, 4).astype(jnp.float32), g)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_roi_fn(f_shape, f_dtype_name, out_size, sampling_ratio):
+    """Build a custom-VJP ROI-align specialized to a static feature shape.
+
+    Shape/dtype are closed over (not residuals) because custom_vjp residuals
+    must be JAX types; one cached closure per distinct signature.
+    """
+    f_dtype = jnp.dtype(f_dtype_name)
+
+    @jax.custom_vjp
+    def fn(features, boxes):
+        return _pallas_fwd(features, boxes, out_size, sampling_ratio)
+
+    def fwd(features, boxes):
+        return fn(features, boxes), boxes
+
+    def bwd(boxes, g):
+        df = _pallas_bwd(boxes, out_size, sampling_ratio, f_shape, f_dtype, g)
+        return df, None
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def roi_align_pallas(features, boxes, out_size=7, sampling_ratio=2):
+    """Pallas ROI-align. Same contract as :func:`roi_align_xla`."""
+    fn = _make_roi_fn(features.shape, features.dtype.name, out_size, sampling_ratio)
+    return fn(features, boxes)
+
+
+def roi_align(
+    features: jnp.ndarray,
+    boxes: jnp.ndarray,
+    out_size: int = 7,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """Dispatch: Pallas kernel on TPU, XLA einsum elsewhere."""
+    if jax.default_backend() == "tpu":
+        return roi_align_pallas(features, boxes, out_size, sampling_ratio)
+    return roi_align_xla(features, boxes, out_size, sampling_ratio)

@@ -1,0 +1,10 @@
+from objgan_tpu.parallel.sharding import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    local_batch_size,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)
