@@ -1,0 +1,121 @@
+"""Benchmark harness — BASELINE.json's five configs on the local device.
+
+Headline metric (printed as the final JSON line, driver contract):
+256x256 Stage-III sampling throughput, images/sec/chip. ``vs_baseline`` is
+1.0 by definition: the reference publishes no throughput (BASELINE.md), so
+this harness *establishes* the baseline.
+
+Usage: python bench.py [--quick] [--all]
+  --quick : tiny dims, few iters (CI smoke)
+  --all   : also run configs #1/#2/#3/#5 and report them in "extras"
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _time(fn, *args, warmup=2, iters=10):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--batch", type=int, default=0)
+    args = ap.parse_args()
+
+    from objgan_tpu.core.config import Config, tiny_test_config
+    from objgan_tpu.data.synthetic import synthetic_batch
+    from objgan_tpu.train.gan import GanTrainer
+
+    n_chips = jax.device_count()
+    if args.quick:
+        cfg = tiny_test_config()
+        batch_size = args.batch or 4
+        iters = 3
+    else:
+        cfg = Config()
+        batch_size = args.batch or 16
+        iters = 10
+    cfg = cfg.merged({"TRAIN": {"BATCH_SIZE": batch_size}})
+
+    rng = jax.random.PRNGKey(0)
+    trainer = GanTrainer(cfg)
+    batch = synthetic_batch(cfg, rng, batch_size)
+    state = trainer.init_state(rng, batch)
+
+    extras = {}
+
+    # ---- headline: config #4, Stage-III 256px full sampling ----
+    sample = jax.jit(lambda s, b, r: trainer.sample(s, b, r)["images"][-1])
+    dt = _time(sample, state, batch, rng, iters=iters)
+    imgs_per_sec = batch_size / dt / max(n_chips, 1)
+    extras["sampling_step_ms"] = round(dt * 1e3, 3)
+
+    # ---- config #5: full adversarial train step ----
+    step = trainer.jitted_train_step(donate=False)
+    dt_train = _time(step, state, batch, rng, iters=max(3, iters // 2))
+    extras["train_step_ms"] = round(dt_train * 1e3, 3)
+    extras["train_images_per_sec_per_chip"] = round(
+        batch_size / dt_train / max(n_chips, 1), 3
+    )
+
+    if args.all:
+        from objgan_tpu.train.box import BoxTrainer
+        from objgan_tpu.train.shape import ShapeTrainer
+
+        # config #1: box LSTM sampling, single caption
+        btr = BoxTrainer(cfg)
+        bstate = btr.init_state(rng, synthetic_batch(cfg, rng, 2,
+                                                     with_images=False))
+        bs = btr.jitted_sample()
+        one = synthetic_batch(cfg, rng, 1, with_images=False)
+        dt_box = _time(bs, bstate, one["captions"], one["cap_lens"], rng,
+                       iters=iters)
+        extras["box_sample_ms"] = round(dt_box * 1e3, 3)
+
+        # config #2: shape generator forward
+        strn = ShapeTrainer(cfg)
+        sstate = strn.init_state(rng, batch)
+        ss = strn.jitted_sample()
+        dt_shape = _time(ss, sstate, batch["boxes"], batch["labels"],
+                         batch["obj_valid"], rng, iters=iters)
+        extras["shape_fwd_ms"] = round(dt_shape * 1e3, 3)
+        extras["shape_masks_per_sec"] = round(
+            batch_size * cfg.OBJ.MAX_OBJECTS / dt_shape, 1
+        )
+
+        # config #3: stage-I 64px sampling
+        s64 = jax.jit(lambda s, b, r: trainer.sample(s, b, r)["images"][0])
+        dt64 = _time(s64, state, batch, rng, iters=iters)
+        extras["stage1_64px_images_per_sec_per_chip"] = round(
+            batch_size / dt64 / max(n_chips, 1), 2
+        )
+
+    extras["batch_size"] = batch_size
+    extras["n_chips"] = n_chips
+    extras["backend"] = jax.default_backend()
+    print(json.dumps({
+        "metric": "stage3_256px_sampling_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": 1.0,
+        "extras": extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

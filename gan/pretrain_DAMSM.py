@@ -1,0 +1,33 @@
+#!/usr/bin/env python
+"""DAMSM encoder pretraining, mirroring the reference's
+``gan/pretrain_DAMSM.py`` CLI (SURVEY.md §3.5):
+
+    python gan/pretrain_DAMSM.py --cfg cfg/damsm_coco.yml [--max_steps N]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", dest="cfg_file", default=None)
+    parser.add_argument("--manifest", default=None)
+    parser.add_argument("--captions_pickle", default=None)
+    parser.add_argument("--max_steps", type=int, default=10**9)
+    args = parser.parse_args()
+
+    from objgan_tpu import cli
+    from objgan_tpu.core.config import Config, cfg_from_file
+
+    cfg = cfg_from_file(args.cfg_file) if args.cfg_file else Config()
+    from gan.main import build_feed
+
+    cli.pretrain_damsm(cfg, build_feed(cfg, args), max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()

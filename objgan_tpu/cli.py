@@ -1,0 +1,224 @@
+"""Training/sampling runners behind the per-stage CLI entry points.
+
+The reference's public surface (SURVEY.md §1 layer table):
+  gan/main.py --cfg cfg/*.yml          (train vs sample via cfg.TRAIN.FLAG)
+  gan/pretrain_DAMSM.py --cfg ...
+  box_generation/train.py / sample.py
+  shape_generation/main.py --cfg ...
+The thin wrappers in gan/, box_generation/, shape_generation/ call into
+here; everything below is stage-agnostic plumbing: mesh setup, host feed,
+jitted step loop, Orbax checkpointing, CSV metrics, periodic attention-grid
+dumps.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import time
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from objgan_tpu.core import checkpoint as ckpt
+from objgan_tpu.core.config import Config
+from objgan_tpu.core.metrics import MetricsWriter
+from objgan_tpu.data.synthetic import synthetic_batch
+from objgan_tpu.parallel.sharding import make_mesh, replicate, shard_batch
+
+
+def _out_dir(cfg: Config, stage: str) -> str:
+    d = os.path.join(cfg.OUTPUT_DIR, f"{cfg.CONFIG_NAME}_{stage}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _feed(cfg: Config, data_iter, rng, with_images=True):
+    """Use the provided host feed, or an endless synthetic stream."""
+    if data_iter is not None:
+        yield from data_iter
+    else:
+        for i in itertools.count():
+            yield synthetic_batch(
+                cfg, jax.random.fold_in(rng, i), with_images=with_images
+            )
+
+
+def _run_loop(cfg, stage, trainer_state, step_fn, feed, writer, manager,
+              max_steps, needs_rng=True, snapshot_hook=None):
+    mesh = make_mesh()
+    state = replicate(mesh, trainer_state)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    t_last = time.monotonic()
+    for step, batch in enumerate(feed):
+        if step >= max_steps:
+            break
+        batch = shard_batch(mesh, batch)
+        if needs_rng:
+            state, metrics = step_fn(state, batch,
+                                     jax.random.fold_in(rng, step))
+        else:
+            state, metrics = step_fn(state, batch)
+        if step % 50 == 0:
+            metrics = {k: float(v) for k, v in metrics.items()}
+            now = time.monotonic()
+            metrics["steps_per_sec"] = 50.0 / max(now - t_last, 1e-9)
+            t_last = now
+            writer.write(step, metrics)
+        if step > 0 and step % (cfg.TRAIN.SNAPSHOT_INTERVAL * 100) == 0:
+            ckpt.save(manager, step, state)
+            if snapshot_hook is not None:
+                snapshot_hook(state, step)
+    ckpt.save(manager, max_steps, state)
+    ckpt.wait(manager)
+    return state
+
+
+def train_gan(cfg: Config, data_iter: Optional[Iterator] = None,
+              max_steps: int = 10**9) -> None:
+    """Stage-C adversarial training (reference ``gan/main.py`` train path)."""
+    from objgan_tpu.train.gan import GanTrainer
+    from objgan_tpu.utils.visualize import build_super_images, save_png
+
+    out = _out_dir(cfg, "gan")
+    trainer = GanTrainer(cfg)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    first = next(_feed(cfg, data_iter, rng))
+    state = trainer.init_state(rng, first)
+    manager = ckpt.make_manager(os.path.join(out, "ckpt"))
+    restored = ckpt.restore_latest(manager, state)
+    if restored is not None:
+        state = restored
+        print(f"resumed from step {int(state.step)}")
+    writer = MetricsWriter(out, "gan")
+    sample_jit = trainer.jitted_sample()
+
+    def snapshot(state_now, step):
+        o = sample_jit(state_now, first, jax.random.fold_in(rng, step))
+        grid = build_super_images(
+            np.asarray(o["images"][-1]), np.asarray(o["grid_attn"][-1]),
+            cap_lens=np.asarray(first["cap_lens"]),
+        )
+        save_png(os.path.join(out, f"attn_step{step}.png"), grid)
+
+    _run_loop(cfg, "gan", state, trainer.jitted_train_step(),
+              _feed(cfg, data_iter, rng), writer, manager, max_steps,
+              snapshot_hook=snapshot)
+
+
+def sample_gan(cfg: Config, data_iter: Optional[Iterator] = None,
+               num_batches: int = 10, save_images: bool = True) -> str:
+    """Stage-C sampling/eval path (reference ``condGANTrainer.sampling``)."""
+    from objgan_tpu.train.gan import GanTrainer
+    from objgan_tpu.utils.visualize import _to_uint8, save_png
+
+    out = _out_dir(cfg, "gan_samples")
+    trainer = GanTrainer(cfg)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    first = next(_feed(cfg, data_iter, rng))
+    state = trainer.init_state(rng, first)
+    manager = ckpt.make_manager(
+        os.path.join(_out_dir(cfg, "gan"), "ckpt")
+    )
+    restored = ckpt.restore_latest(manager, state)
+    if restored is not None:
+        state = restored
+    sample_jit = trainer.jitted_sample()
+    feed = _feed(cfg, data_iter, rng)
+    n = 0
+    for i, batch in enumerate(feed):
+        if i >= num_batches:
+            break
+        o = sample_jit(state, batch, jax.random.fold_in(rng, i))
+        imgs = np.asarray(o["images"][-1])
+        if save_images:
+            for j in range(imgs.shape[0]):
+                save_png(os.path.join(out, f"s{i}_{j}.png"),
+                         _to_uint8(imgs[j]))
+        n += imgs.shape[0]
+    print(f"wrote {n} samples to {out}")
+    return out
+
+
+def pretrain_damsm(cfg: Config, data_iter: Optional[Iterator] = None,
+                   max_steps: int = 10**9) -> None:
+    from objgan_tpu.train.damsm import DamsmTrainer
+
+    out = _out_dir(cfg, "damsm")
+    trainer = DamsmTrainer(cfg)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    first = next(_feed(cfg, data_iter, rng))
+    state = trainer.init_state(rng, first)
+    manager = ckpt.make_manager(os.path.join(out, "ckpt"))
+    restored = ckpt.restore_latest(manager, state)
+    if restored is not None:
+        state = restored
+    writer = MetricsWriter(out, "damsm")
+    _run_loop(cfg, "damsm", state, trainer.jitted_train_step(),
+              _feed(cfg, data_iter, rng), writer, manager, max_steps)
+
+
+def train_box(cfg: Config, data_iter: Optional[Iterator] = None,
+              max_steps: int = 10**9) -> None:
+    from objgan_tpu.train.box import BoxTrainer
+
+    out = _out_dir(cfg, "box")
+    trainer = BoxTrainer(cfg)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    first = next(_feed(cfg, data_iter, rng, with_images=False))
+    state = trainer.init_state(rng, first)
+    manager = ckpt.make_manager(os.path.join(out, "ckpt"))
+    restored = ckpt.restore_latest(manager, state)
+    if restored is not None:
+        state = restored
+    writer = MetricsWriter(out, "box")
+    _run_loop(cfg, "box", state, trainer.jitted_train_step(),
+              _feed(cfg, data_iter, rng, with_images=False), writer, manager,
+              max_steps, needs_rng=False)
+
+
+def sample_box(cfg: Config, captions, cap_lens, out_path: Optional[str] = None):
+    """Caption -> layout (reference ``box_generation/sample.py``)."""
+    import json
+
+    from objgan_tpu.train.box import BoxTrainer
+
+    trainer = BoxTrainer(cfg)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    dummy = synthetic_batch(cfg, rng, max(2, captions.shape[0]),
+                            with_images=False)
+    state = trainer.init_state(rng, dummy)
+    manager = ckpt.make_manager(os.path.join(_out_dir(cfg, "box"), "ckpt"))
+    restored = ckpt.restore_latest(manager, state)
+    if restored is not None:
+        state = restored
+    out = trainer.jitted_sample()(state, captions, cap_lens, rng)
+    layout = {
+        "labels": np.asarray(out["labels"]).tolist(),
+        "boxes": np.asarray(out["boxes"]).tolist(),
+        "obj_valid": np.asarray(out["obj_valid"]).tolist(),
+    }
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(layout, f)
+    return layout
+
+
+def train_shape(cfg: Config, data_iter: Optional[Iterator] = None,
+                max_steps: int = 10**9) -> None:
+    from objgan_tpu.train.shape import ShapeTrainer
+
+    out = _out_dir(cfg, "shape")
+    trainer = ShapeTrainer(cfg)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    first = next(_feed(cfg, data_iter, rng, with_images=False))
+    state = trainer.init_state(rng, first)
+    manager = ckpt.make_manager(os.path.join(out, "ckpt"))
+    restored = ckpt.restore_latest(manager, state)
+    if restored is not None:
+        state = restored
+    writer = MetricsWriter(out, "shape")
+    _run_loop(cfg, "shape", state, trainer.jitted_train_step(),
+              _feed(cfg, data_iter, rng, with_images=False), writer, manager,
+              max_steps)

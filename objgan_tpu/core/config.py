@@ -209,6 +209,7 @@ def tiny_test_config() -> Config:
     """A miniature config for unit tests: same topology, tiny dims."""
     return Config().merged(
         {
+            "TREE": {"BASE_SIZE": 16},  # 16/32/64 pyramid: fast CPU compiles
             "TRAIN": {"BATCH_SIZE": 2},
             "GAN": {"DF_DIM": 8, "GF_DIM": 8, "Z_DIM": 16, "CONDITION_DIM": 16},
             "TEXT": {

@@ -1,0 +1,48 @@
+"""Structured metrics logging (SURVEY.md §5 "Metrics/logging").
+
+The reference prints loss scalars and dumps PNG grids. Here: a tiny
+dependency-free writer that appends one CSV row per step and mirrors to
+stdout every ``print_every`` steps; the attention-grid image dumps live in
+``objgan_tpu/utils/visualize.py`` (they are the model family's main
+debugging tool and are kept).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Dict, Mapping, Optional
+
+
+class MetricsWriter:
+    def __init__(self, directory: str, name: str = "train",
+                 print_every: int = 50):
+        os.makedirs(directory, exist_ok=True)
+        self.path = os.path.join(directory, f"{name}_metrics.csv")
+        self.print_every = print_every
+        self._file = None
+        self._writer = None
+        self._fields = None
+        self._t0 = time.monotonic()
+
+    def write(self, step: int, metrics: Mapping[str, float]) -> None:
+        row = {"step": step, "wall_s": round(time.monotonic() - self._t0, 3)}
+        row.update({k: float(v) for k, v in metrics.items()})
+        if self._writer is None:
+            self._fields = list(row)
+            self._file = open(self.path, "a", newline="")
+            self._writer = csv.DictWriter(self._file, fieldnames=self._fields)
+            if self._file.tell() == 0:
+                self._writer.writeheader()
+        self._writer.writerow({k: row.get(k, "") for k in self._fields})
+        if step % self.print_every == 0:
+            parts = " ".join(f"{k}={float(v):.4g}" for k, v in metrics.items())
+            print(f"[step {step}] {parts}", flush=True)
+            self._file.flush()
+
+    def close(self) -> None:
+        if self._file is not None:
+            self._file.close()
+            self._file = None
+            self._writer = None

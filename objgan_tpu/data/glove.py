@@ -1,0 +1,76 @@
+"""GloVe embedding tables for caption words and object-class labels.
+
+The reference ships pre-extracted GloVe vectors for both the box-generation
+vocabulary and the 80 COCO class names (SURVEY.md §2.1/§2.2). Zero-egress
+here, so: load a standard ``glove.6B.300d.txt``-style file when present on
+disk, otherwise fall back to a deterministic random table (training then
+learns the embeddings — documented divergence that disappears as soon as a
+GloVe file is supplied).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+COCO_CLASSES = [
+    "background", "person", "bicycle", "car", "motorcycle", "airplane",
+    "bus", "train", "truck", "boat", "traffic light", "fire hydrant",
+    "stop sign", "parking meter", "bench", "bird", "cat", "dog", "horse",
+    "sheep", "cow", "elephant", "bear", "zebra", "giraffe", "backpack",
+    "umbrella", "handbag", "tie", "suitcase", "frisbee", "skis", "snowboard",
+    "sports ball", "kite", "baseball bat", "baseball glove", "skateboard",
+    "surfboard", "tennis racket", "bottle", "wine glass", "cup", "fork",
+    "knife", "spoon", "bowl", "banana", "apple", "sandwich", "orange",
+    "broccoli", "carrot", "hot dog", "pizza", "donut", "cake", "chair",
+    "couch", "potted plant", "bed", "dining table", "toilet", "tv",
+    "laptop", "mouse", "remote", "keyboard", "cell phone", "microwave",
+    "oven", "toaster", "sink", "refrigerator", "book", "clock", "vase",
+    "scissors", "teddy bear", "hair drier", "toothbrush",
+]
+
+
+def load_glove_file(path: str, dim: int) -> Dict[str, np.ndarray]:
+    table: Dict[str, np.ndarray] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip().split(" ")
+            if len(parts) != dim + 1:
+                continue
+            table[parts[0]] = np.asarray(parts[1:], np.float32)
+    return table
+
+
+def _random_vector(word: str, dim: int) -> np.ndarray:
+    rng = np.random.default_rng(abs(hash(("glove", word))) % (2**32))
+    return rng.normal(0.0, 0.3, dim).astype(np.float32)
+
+
+def vocab_table(
+    words: Sequence[str], dim: int, glove_path: Optional[str] = None
+) -> np.ndarray:
+    """(len(words), dim) table; multi-word names average their word vectors
+    (the lineage's treatment of two-word COCO classes)."""
+    glove = (
+        load_glove_file(glove_path, dim)
+        if glove_path and os.path.exists(glove_path)
+        else {}
+    )
+    out = np.zeros((len(words), dim), np.float32)
+    for i, name in enumerate(words):
+        vecs = []
+        for p in name.split():
+            v = glove.get(p)
+            vecs.append(v if v is not None else _random_vector(p, dim))
+        if not vecs:
+            vecs = [np.zeros(dim, np.float32)]
+        out[i] = np.mean(vecs, axis=0)
+    out[0] = 0.0  # padding / background row stays zero
+    return out
+
+
+def coco_label_table(dim: int, glove_path: Optional[str] = None) -> np.ndarray:
+    """(81, dim) label-embedding table: background + 80 COCO classes."""
+    return vocab_table(COCO_CLASSES, dim, glove_path)

@@ -1,0 +1,174 @@
+"""Host-side data feed: COCO-format records -> statically shaped device
+batches (NORTH-STAR: "COCO caption preprocessing, glove embedding lookup,
+and box/mask rasterization move into a host-side feed").
+
+The reference entangles this with PyTorch datasets per stage (SURVEY.md
+§2.1-2.3 "Dataset" rows). Here one feed serves all three stages:
+
+  record (dict, one image):
+      "captions":  list[str]                  (CAPTIONS_PER_IMAGE strings)
+      "labels":    int array (n_obj,)          COCO class ids, 1..80
+      "boxes":     float array (n_obj, 4)      normalized (x0, y0, w, h)
+      "polygons":  optional list of (k, 2) float arrays, normalized image
+                   coords, one polygon per object (instance segmentation)
+      "masks":     optional (n_obj, S, S) float — precomputed per-object
+                   masks in their own box frame (skips rasterization)
+      "image":     optional (H, W, 3) uint8/float — the photo
+
+Per batch the feed tokenizes one randomly chosen caption per image, pads
+objects to MAX_OBJECTS with validity masks, rasterizes polygon masks into
+each object's box frame (C++ scanline rasterizer when built, numpy
+fallback), and builds the 64/128/256 image pyramid by area resize. Output
+is the exact pytree ``synthetic_batch`` produces, so trainers don't care
+which feed is plugged in. Device placement/sharding happens in the trainer
+via ``parallel.shard_batch``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from objgan_tpu.core.config import Config
+from objgan_tpu.data.tokenizer import Vocab
+
+
+def polygon_to_box_mask(
+    polygon: np.ndarray, box: np.ndarray, size: int
+) -> np.ndarray:
+    """Rasterize one normalized-image-coords polygon into the object's own
+    (size, size) box frame. Uses the native C++ scanline rasterizer when
+    available, else the numpy even-odd fill."""
+    x0, y0, w, h = [float(v) for v in box]
+    # polygon into box-local [0,1] coords
+    local = np.empty_like(polygon, dtype=np.float64)
+    local[:, 0] = (polygon[:, 0] - x0) / max(w, 1e-6)
+    local[:, 1] = (polygon[:, 1] - y0) / max(h, 1e-6)
+    try:
+        from objgan_tpu.native import rasterize_polygon
+
+        return rasterize_polygon(local, size)
+    except Exception:
+        return _numpy_polygon_fill(local, size)
+
+
+def _numpy_polygon_fill(poly: np.ndarray, size: int) -> np.ndarray:
+    """Even-odd scanline fill at pixel centers, vectorized over rows."""
+    ys = (np.arange(size) + 0.5) / size  # (S,)
+    xs = (np.arange(size) + 0.5) / size  # (S,)
+    x1 = poly[:, 0]
+    y1 = poly[:, 1]
+    x2 = np.roll(x1, -1)
+    y2 = np.roll(y1, -1)
+    # for each scanline y, each edge crossing contributes an x intercept
+    out = np.zeros((size, size), np.float32)
+    for i, y in enumerate(ys):
+        crosses = (y1 <= y) != (y2 <= y)
+        if not crosses.any():
+            continue
+        t = (y - y1[crosses]) / (y2[crosses] - y1[crosses])
+        xi = x1[crosses] + t * (x2[crosses] - x1[crosses])
+        inside = (xi[None, :] <= xs[:, None]).sum(axis=1) % 2 == 1
+        out[i] = inside
+    return out
+
+
+def _resize_area(img: np.ndarray, size: int) -> np.ndarray:
+    """Box-filter downscale / nearest upscale to (size, size, 3)."""
+    h, w = img.shape[:2]
+    if h == size and w == size:
+        return img
+    if h % size == 0 and w % size == 0:
+        fh, fw = h // size, w // size
+        return img.reshape(size, fh, size, fw, -1).mean(axis=(1, 3))
+    yi = (np.arange(size) * h // size).clip(0, h - 1)
+    xi = (np.arange(size) * w // size).clip(0, w - 1)
+    return img[yi][:, xi]
+
+
+class CocoFeed:
+    """Infinite shuffled batch iterator over a list of records."""
+
+    def __init__(self, cfg: Config, records: Sequence[Dict], vocab: Vocab,
+                 seed: int = 0, with_images: bool = True):
+        self.cfg = cfg
+        self.records = list(records)
+        self.vocab = vocab
+        self.rng = np.random.default_rng(seed)
+        self.with_images = with_images
+        if not self.records:
+            raise ValueError("empty dataset")
+
+    def _one(self, rec: Dict) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        o = cfg.OBJ.MAX_OBJECTS
+        s = cfg.OBJ.SHAPE_SIZE
+        cap = rec["captions"][self.rng.integers(len(rec["captions"]))]
+        caps, lens = self.vocab.encode(cap, cfg.TEXT.WORDS_NUM)
+
+        n = min(len(rec["labels"]), o)
+        labels = np.zeros((o,), np.int32)
+        boxes = np.zeros((o, 4), np.float32)
+        valid = np.zeros((o,), np.float32)
+        masks = np.zeros((o, s, s), np.float32)
+        labels[:n] = np.asarray(rec["labels"][:n], np.int32)
+        boxes[:n] = np.asarray(rec["boxes"][:n], np.float32)
+        valid[:n] = 1.0
+        if rec.get("masks") is not None:
+            m = np.asarray(rec["masks"], np.float32)[:n]
+            masks[:n] = m if m.shape[-1] == s else np.stack(
+                [_resize_area(x[..., None], s)[..., 0] for x in m]
+            )
+        elif rec.get("polygons") is not None:
+            for i in range(n):
+                masks[i] = polygon_to_box_mask(
+                    np.asarray(rec["polygons"][i], np.float64), boxes[i], s
+                )
+        else:
+            masks[:n] = 1.0  # box == shape fallback
+
+        out = {
+            "captions": caps,
+            "cap_lens": np.int32(lens),
+            "class_ids": labels[0],
+            "labels": labels,
+            "boxes": boxes,
+            "shapes": masks,
+            "obj_valid": valid,
+        }
+        if self.with_images and rec.get("image") is not None:
+            img = np.asarray(rec["image"], np.float32)
+            if img.max() > 1.5:
+                img = img / 127.5 - 1.0
+            out["images"] = [
+                _resize_area(img, sz).astype(np.float32)
+                for sz in cfg.branch_sizes
+            ]
+        return out
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        cfg = self.cfg
+        b = cfg.TRAIN.BATCH_SIZE
+        while True:
+            idx = self.rng.choice(len(self.records), size=b, replace=True)
+            rows = [self._one(self.records[i]) for i in idx]
+            batch: Dict = {}
+            for k in rows[0]:
+                if k == "images":
+                    batch[k] = [
+                        np.stack([r[k][j] for r in rows])
+                        for j in range(len(rows[0][k]))
+                    ]
+                else:
+                    batch[k] = np.stack([r[k] for r in rows])
+            yield batch
+
+
+def load_records_json(path: str) -> List[Dict]:
+    """Load a dataset manifest: a JSON list of records (see module doc).
+    Polygons/boxes must already be normalized to [0, 1]."""
+    with open(path) as f:
+        return json.load(f)

@@ -1,0 +1,77 @@
+"""Caption tokenization + vocabulary (the lineage builds ``wordtoix`` /
+``ixtoword`` from COCO captions with an NLTK ``RegexpTokenizer(r'\\w+')``;
+SURVEY.md §2.1/§2.3 "Data loader" — reference tree unavailable).
+
+Same contract without the NLTK dependency: lowercase, ``\\w+`` regex tokens,
+index 0 reserved for padding ('<end>' in the lineage pickle layout). The
+resulting ids are drop-in comparable with a ``captions.pickle`` produced by
+the reference pipeline (a loader for that pickle is provided).
+"""
+
+from __future__ import annotations
+
+import pickle
+import re
+from collections import Counter
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+import numpy as np
+
+_TOKEN_RE = re.compile(r"\w+")
+
+PAD = 0
+PAD_TOKEN = "<end>"
+
+
+def tokenize(caption: str) -> List[str]:
+    return _TOKEN_RE.findall(caption.lower())
+
+
+class Vocab:
+    def __init__(self, wordtoix: Dict[str, int]):
+        assert wordtoix.get(PAD_TOKEN, 0) == PAD
+        self.wordtoix = dict(wordtoix)
+        self.ixtoword = {i: w for w, i in wordtoix.items()}
+
+    def __len__(self) -> int:
+        return len(self.wordtoix)
+
+    @classmethod
+    def build(cls, captions: Iterable[str], min_count: int = 1) -> "Vocab":
+        counts = Counter()
+        for cap in captions:
+            counts.update(tokenize(cap))
+        wordtoix = {PAD_TOKEN: PAD}
+        for w, c in sorted(counts.items()):
+            if c >= min_count:
+                wordtoix[w] = len(wordtoix)
+        return cls(wordtoix)
+
+    @classmethod
+    def from_reference_pickle(cls, path: str) -> "Vocab":
+        """Load the lineage's ``captions.pickle`` ([train, test, ixtoword,
+        wordtoix]) so reference-tokenized datasets port unchanged."""
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+        wordtoix = data[3] if isinstance(data, (list, tuple)) else data
+        return cls(dict(wordtoix))
+
+    def encode(self, caption: str, max_len: int) -> Tuple[np.ndarray, int]:
+        ids = [
+            self.wordtoix[t] for t in tokenize(caption) if t in self.wordtoix
+        ][:max_len]
+        out = np.zeros((max_len,), np.int32)
+        out[: len(ids)] = ids
+        return out, max(len(ids), 1)
+
+    def encode_batch(self, captions: Sequence[str], max_len: int):
+        caps = np.zeros((len(captions), max_len), np.int32)
+        lens = np.zeros((len(captions),), np.int32)
+        for i, c in enumerate(captions):
+            caps[i], lens[i] = self.encode(c, max_len)
+        return caps, lens
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return " ".join(
+            self.ixtoword[int(i)] for i in ids if int(i) != PAD
+        )

@@ -63,8 +63,13 @@ def damsm_attention(
     query: jnp.ndarray,  # (B, T, C)  word features
     context: jnp.ndarray,  # (B, L, C)  region features
     gamma1: float,
+    query_valid: Optional[jnp.ndarray] = None,  # (B, T) 1.0 for real words
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """DAMSM ``func_attention``: double softmax, words first then regions.
+
+    ``query_valid`` masks padded words out of the first softmax — the lineage
+    achieves this by physically truncating captions to their length before
+    calling ``func_attention``; masking is the static-shape equivalent.
 
     Returns (weighted region context (B, T, C) float32, attn (B, T, L) float32).
     """
@@ -72,7 +77,10 @@ def damsm_attention(
     c = context.astype(jnp.float32)
     # (B, L, T): region-word affinities; softmax over words (the lineage's
     # first softmax, over queryL).
-    attn = jax.nn.softmax(jnp.einsum("blc,btc->blt", c, q), axis=-1)
+    scores = jnp.einsum("blc,btc->blt", c, q)
+    if query_valid is not None:
+        scores = jnp.where(query_valid[:, None, :] > 0, scores, _NEG_INF)
+    attn = jax.nn.softmax(scores, axis=-1)
     # transpose to (B, T, L), scale, softmax over regions.
     attn = jax.nn.softmax(gamma1 * jnp.swapaxes(attn, 1, 2), axis=-1)
     weighted = jnp.einsum("btl,blc->btc", attn, c)

@@ -54,24 +54,25 @@ class LSTMCell(nn.Module):
         return (z, z)
 
 
-def _masked_scan(cell, carry, xs, valid, reverse=False):
-    """Scan a cell over time with pack_padded_sequence semantics: the carry is
-    frozen on padded steps, so the final carry equals the carry at each
-    sequence's own last valid step (zero-init backward passes likewise)."""
+class _MaskedLSTMCell(nn.Module):
+    """LSTM cell step with pack_padded_sequence semantics: the carry is frozen
+    on padded steps, so the final carry equals the carry at each sequence's
+    own last valid step (zero-init backward passes likewise)."""
 
-    def step(carry, inp):
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, inp):
         x_t, v_t = inp
-        new_carry, y = cell(carry, x_t)
+        new_carry, y = LSTMCell(self.features, dtype=self.dtype, name="cell")(
+            carry, x_t
+        )
         v = v_t[:, None].astype(y.dtype)
         carry = jax.tree.map(
             lambda n, o: n * v + o * (1.0 - v), new_carry, carry
         )
         return carry, y * v
-
-    xs_t = jnp.swapaxes(xs, 0, 1)  # (T, B, D)
-    valid_t = jnp.swapaxes(valid, 0, 1)  # (T, B)
-    carry, ys = jax.lax.scan(step, carry, (xs_t, valid_t), reverse=reverse)
-    return carry, jnp.swapaxes(ys, 0, 1)  # (B, T, H)
 
 
 class BiLSTM(nn.Module):
@@ -86,16 +87,27 @@ class BiLSTM(nn.Module):
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray, lengths: jnp.ndarray):
-        b = xs.shape[0]
-        t = xs.shape[1]
+        b, t = xs.shape[:2]
         pos = jnp.arange(t)[None, :]
         valid = (pos < lengths[:, None]).astype(xs.dtype)  # (B, T)
-        fwd = LSTMCell(self.features, dtype=self.dtype, name="fwd")
-        bwd = LSTMCell(self.features, dtype=self.dtype, name="bwd")
+        xs_t = jnp.swapaxes(xs, 0, 1)  # (T, B, D)
+        valid_t = jnp.swapaxes(valid, 0, 1)  # (T, B)
         carry0 = LSTMCell.init_carry(b, self.features, xs.dtype)
-        (h_f, _), ys_f = _masked_scan(fwd, carry0, xs, valid)
-        (h_b, _), ys_b = _masked_scan(bwd, carry0, xs, valid, reverse=True)
-        return jnp.concatenate([ys_f, ys_b], axis=-1), (h_f, h_b)
+
+        def scan_cell(name, reverse):
+            return nn.scan(
+                _MaskedLSTMCell,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=0,
+                out_axes=0,
+                reverse=reverse,
+            )(self.features, dtype=self.dtype, name=name)
+
+        (h_f, _), ys_f = scan_cell("fwd", False)(carry0, (xs_t, valid_t))
+        (h_b, _), ys_b = scan_cell("bwd", True)(carry0, (xs_t, valid_t))
+        ys = jnp.concatenate([ys_f, ys_b], axis=-1)
+        return jnp.swapaxes(ys, 0, 1), (h_f, h_b)
 
 
 class ConvLSTMCell(nn.Module):
@@ -131,6 +143,24 @@ class ConvLSTMCell(nn.Module):
         return (z, z)
 
 
+class _MaskedConvLSTMCell(nn.Module):
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, inp):
+        x_t, v_t = inp
+        new_carry, y = ConvLSTMCell(
+            self.features, self.kernel, self.dtype, name="cell"
+        )(carry, x_t)
+        v = v_t[:, None, None, None].astype(y.dtype)
+        carry = jax.tree.map(
+            lambda n, old: n * v + old * (1.0 - v), new_carry, carry
+        )
+        return carry, y * v
+
+
 class BiConvLSTM(nn.Module):
     """Bi-directional conv-LSTM over an object sequence (B, O, H, W, C).
 
@@ -145,25 +175,21 @@ class BiConvLSTM(nn.Module):
     @nn.compact
     def __call__(self, xs: jnp.ndarray, valid: jnp.ndarray):
         b, o, h, w, _ = xs.shape
-        fwd = ConvLSTMCell(self.features, self.kernel, self.dtype, name="fwd")
-        bwd = ConvLSTMCell(self.features, self.kernel, self.dtype, name="bwd")
         carry0 = ConvLSTMCell.init_carry(b, h, w, self.features, xs.dtype)
+        xs_t = jnp.moveaxis(xs, 1, 0)  # (O, B, H, W, C)
+        valid_t = jnp.swapaxes(valid.astype(xs.dtype), 0, 1)
 
-        def scan_dir(cell, reverse):
-            def step(carry, inp):
-                x_t, v_t = inp
-                new_carry, y = cell(carry, x_t)
-                v = v_t[:, None, None, None].astype(y.dtype)
-                carry = jax.tree.map(
-                    lambda n, old: n * v + old * (1.0 - v), new_carry, carry
-                )
-                return carry, y * v
+        def scan_cell(name, reverse):
+            return nn.scan(
+                _MaskedConvLSTMCell,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=0,
+                out_axes=0,
+                reverse=reverse,
+            )(self.features, self.kernel, self.dtype, name=name)
 
-            xs_t = jnp.moveaxis(xs, 1, 0)  # (O, B, H, W, C)
-            valid_t = jnp.swapaxes(valid.astype(xs.dtype), 0, 1)
-            _, ys = jax.lax.scan(step, carry0, (xs_t, valid_t), reverse=reverse)
-            return jnp.moveaxis(ys, 0, 1)
-
-        ys_f = scan_dir(fwd, False)
-        ys_b = scan_dir(bwd, True)
-        return jnp.concatenate([ys_f, ys_b], axis=-1)
+        _, ys_f = scan_cell("fwd", False)(carry0, (xs_t, valid_t))
+        _, ys_b = scan_cell("bwd", True)(carry0, (xs_t, valid_t))
+        ys = jnp.concatenate([ys_f, ys_b], axis=-1)
+        return jnp.moveaxis(ys, 0, 1)

@@ -52,8 +52,9 @@ def _pool_matrix(out_n: int, src_n: int, origin, extent, sampling_ratio: int):
     dtype = jnp.float32
     origin = jnp.asarray(origin, dtype)
     extent = jnp.asarray(extent, dtype)
-    i = lax.broadcasted_iota(dtype, (fine_n, src_n), 0)  # fine index
-    s = lax.broadcasted_iota(dtype, (fine_n, src_n), 1)  # source index
+    # int32 iota then cast: Mosaic's tpu.iota only produces integers
+    i = lax.broadcasted_iota(jnp.int32, (fine_n, src_n), 0).astype(dtype)
+    s = lax.broadcasted_iota(jnp.int32, (fine_n, src_n), 1).astype(dtype)
     src = (
         origin[..., None, None] * src_n
         + (i + 0.5) * extent[..., None, None] * src_n / fine_n
@@ -85,8 +86,12 @@ def roi_align_xla(
     a_y = _pool_matrix(out_size, h, boxes[..., 1], boxes[..., 3], sampling_ratio)
     a_x = _pool_matrix(out_size, w, boxes[..., 0], boxes[..., 2], sampling_ratio)
     f = features.astype(jnp.float32)
-    t = jnp.einsum("boih,bhwc->boiwc", a_y, f)
-    out = jnp.einsum("bojw,boiwc->boijc", a_x, t)
+    # HIGHEST precision: on TPU the default einsum would use bf16 passes and
+    # drift from the fp32-accumulating Pallas kernel
+    t = jnp.einsum("boih,bhwc->boiwc", a_y, f,
+                   precision=lax.Precision.HIGHEST)
+    out = jnp.einsum("bojw,boiwc->boijc", a_x, t,
+                     precision=lax.Precision.HIGHEST)
     return out.astype(features.dtype)
 
 
@@ -95,11 +100,13 @@ def roi_align_xla(
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(box_ref, f_ref, out_ref, *, out_size, sampling_ratio, h, w, c):
-    x0 = box_ref[0, 0]
-    y0 = box_ref[0, 1]
-    bw = box_ref[0, 2]
-    bh = box_ref[0, 3]
+def _fwd_kernel(box_ref, f_ref, out_ref, *, out_size, sampling_ratio, h, w, c,
+                n_obj):
+    idx = pl.program_id(0) * n_obj + pl.program_id(1)
+    x0 = box_ref[idx, 0]
+    y0 = box_ref[idx, 1]
+    bw = box_ref[idx, 2]
+    bh = box_ref[idx, 3]
     a_y = _pool_matrix(out_size, h, y0, bh, sampling_ratio)  # (R, H)
     a_x = _pool_matrix(out_size, w, x0, bw, sampling_ratio)  # (R, W)
     f = f_ref[0].astype(jnp.float32)  # (H, W, C)
@@ -112,17 +119,19 @@ def _fwd_kernel(box_ref, f_ref, out_ref, *, out_size, sampling_ratio, h, w, c):
     out_ref[0, 0] = jnp.swapaxes(out, 0, 1).astype(out_ref.dtype)
 
 
-def _bwd_kernel(box_ref, g_ref, df_ref, *, out_size, sampling_ratio, h, w, c):
+def _bwd_kernel(box_ref, g_ref, df_ref, *, out_size, sampling_ratio, h, w, c,
+                n_obj):
     o = pl.program_id(1)
 
     @pl.when(o == 0)
     def _():
         df_ref[0] = jnp.zeros_like(df_ref[0])
 
-    x0 = box_ref[0, 0]
-    y0 = box_ref[0, 1]
-    bw = box_ref[0, 2]
-    bh = box_ref[0, 3]
+    idx = pl.program_id(0) * n_obj + o
+    x0 = box_ref[idx, 0]
+    y0 = box_ref[idx, 1]
+    bw = box_ref[idx, 2]
+    bh = box_ref[idx, 3]
     a_y = _pool_matrix(out_size, h, y0, bh, sampling_ratio)  # (R, H)
     a_x = _pool_matrix(out_size, w, x0, bw, sampling_ratio)  # (R, W)
     g = g_ref[0, 0].astype(jnp.float32)  # (R, R, C)
@@ -144,18 +153,23 @@ def _pallas_fwd(features, boxes, out_size, sampling_ratio):
     b, h, w, c = features.shape
     o = boxes.shape[1]
     kernel = functools.partial(
-        _fwd_kernel, out_size=out_size, sampling_ratio=sampling_ratio, h=h, w=w, c=c
+        _fwd_kernel, out_size=out_size, sampling_ratio=sampling_ratio,
+        h=h, w=w, c=c, n_obj=o,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # boxes ride in SMEM, whole
+        grid=(b, o),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i, j, boxes_ref: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, out_size, out_size, c),
+            lambda i, j, boxes_ref: (i, j, 0, 0, 0),
+        ),
     )
     return pl.pallas_call(
         kernel,
-        grid=(b, o),
-        in_specs=[
-            pl.BlockSpec((1, 4), lambda i, j: (i * o + j, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, out_size, out_size, c), lambda i, j: (i, j, 0, 0, 0)
-        ),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, o, out_size, out_size, c), features.dtype),
         interpret=INTERPRET,
     )(boxes.reshape(b * o, 4).astype(jnp.float32), features)
@@ -165,18 +179,25 @@ def _pallas_bwd(boxes, out_size, sampling_ratio, f_shape, f_dtype, g):
     b, h, w, c = f_shape
     o = boxes.shape[1]
     kernel = functools.partial(
-        _bwd_kernel, out_size=out_size, sampling_ratio=sampling_ratio, h=h, w=w, c=c
+        _bwd_kernel, out_size=out_size, sampling_ratio=sampling_ratio,
+        h=h, w=w, c=c, n_obj=o,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, o),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, out_size, out_size, c),
+                lambda i, j, boxes_ref: (i, j, 0, 0, 0),
+            ),
+        ],
+        # same output block revisited across the inner (object) grid dim:
+        # accumulation pattern, initialized at o == 0
+        out_specs=pl.BlockSpec((1, h, w, c), lambda i, j, boxes_ref: (i, 0, 0, 0)),
     )
     return pl.pallas_call(
         kernel,
-        grid=(b, o),
-        in_specs=[
-            pl.BlockSpec((1, 4), lambda i, j: (i * o + j, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (1, 1, out_size, out_size, c), lambda i, j: (i, j, 0, 0, 0)
-            ),
-        ],
-        out_specs=pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0)),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(f_shape, f_dtype),
         interpret=INTERPRET,
     )(boxes.reshape(b * o, 4).astype(jnp.float32), g)

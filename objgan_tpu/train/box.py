@@ -1,0 +1,76 @@
+"""Stage-A trainer/sampler (the reference's ``box_generation/train.py`` /
+``sample.py`` — SURVEY.md §2.1/§3.3; reference tree unavailable).
+
+Teacher-forced MLE: cross-entropy over labels (with STOP) + GMM NLL over GT
+boxes, with the lineage's gradient clipping. Sampling is the jitted
+``lax.scan`` decode in the model (BASELINE.json config #1 measures this
+single-caption on CPU — jit makes the per-step latency XLA-fused).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from objgan_tpu.core.config import Config
+from objgan_tpu.models.box_generator import BoxGenerator, box_loss
+
+
+class BoxTrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt: Any
+
+
+class BoxTrainer:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.model = BoxGenerator(cfg)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.BOX.GRAD_CLIP),
+            optax.adam(cfg.BOX.LEARNING_RATE),
+        )
+
+    def init_state(self, rng: jax.Array, batch) -> BoxTrainState:
+        params = self.model.init(
+            rng, batch["captions"], batch["cap_lens"], batch["labels"],
+            batch["boxes"], batch["obj_valid"],
+        )
+        return BoxTrainState(jnp.zeros((), jnp.int32), params,
+                             self.tx.init(params))
+
+    def loss(self, params, batch):
+        out = self.model.apply(
+            params, batch["captions"], batch["cap_lens"], batch["labels"],
+            batch["boxes"], batch["obj_valid"],
+        )
+        return box_loss(out, batch["labels"], batch["boxes"],
+                        batch["obj_valid"], self.cfg.OBJ.GMM_COMPONENTS)
+
+    def train_step(self, state: BoxTrainState, batch):
+        (loss, aux), grads = jax.value_and_grad(self.loss, has_aux=True)(
+            state.params, batch
+        )
+        upd, opt = self.tx.update(grads, state.opt, state.params)
+        new = state.replace(
+            step=state.step + 1,
+            params=optax.apply_updates(state.params, upd),
+            opt=opt,
+        )
+        aux["box_total"] = loss
+        return new, aux
+
+    def sample(self, state: BoxTrainState, captions, cap_lens, rng):
+        return self.model.apply(
+            state.params, captions, cap_lens, rng, method=BoxGenerator.sample
+        )
+
+    def jitted_train_step(self):
+        return jax.jit(self.train_step, donate_argnums=(0,))
+
+    def jitted_sample(self):
+        return jax.jit(self.sample)

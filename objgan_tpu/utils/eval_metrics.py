@@ -1,0 +1,87 @@
+"""Quality metrics: FID, Inception Score, R-precision (SURVEY.md §6 — the
+paper's reported metrics; the reference computes FID/IS with external
+scripts on dumped sample folders).
+
+All metrics are generic over a feature extractor / classifier:
+  * With converted ImageNet Inception-v3 weights they are the standard
+    definitions (strict parity).
+  * Offline (zero egress, no torchvision weights in-image) they run over the
+    framework's own DAMSM CNNEncoder features — self-consistent relative
+    numbers, clearly labeled "lite".
+
+numpy-only: matrix sqrt via symmetric eigendecomposition, no scipy.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def _sqrtm_psd(mat: np.ndarray) -> np.ndarray:
+    """Matrix square root of a symmetric PSD matrix via eigh."""
+    vals, vecs = np.linalg.eigh((mat + mat.T) / 2.0)
+    vals = np.clip(vals, 0.0, None)
+    return (vecs * np.sqrt(vals)) @ vecs.T
+
+
+def frechet_distance(
+    feats_a: np.ndarray, feats_b: np.ndarray, eps: float = 1e-6
+) -> float:
+    """FID between two activation sets (N, D): ||mu_a - mu_b||^2 +
+    Tr(Ca + Cb - 2 sqrt(sqrt(Ca) Cb sqrt(Ca)))."""
+    a = np.asarray(feats_a, np.float64)
+    b = np.asarray(feats_b, np.float64)
+    mu_a, mu_b = a.mean(0), b.mean(0)
+    ca = np.cov(a, rowvar=False) + eps * np.eye(a.shape[1])
+    cb = np.cov(b, rowvar=False) + eps * np.eye(b.shape[1])
+    sa = _sqrtm_psd(ca)
+    covmean = _sqrtm_psd(sa @ cb @ sa)
+    diff = mu_a - mu_b
+    return float(diff @ diff + np.trace(ca) + np.trace(cb)
+                 - 2.0 * np.trace(covmean))
+
+
+def inception_score(
+    probs: np.ndarray, splits: int = 10
+) -> Tuple[float, float]:
+    """IS from class probabilities (N, C): exp(E_x KL(p(y|x) || p(y)))."""
+    p = np.asarray(probs, np.float64)
+    p = p / np.clip(p.sum(-1, keepdims=True), 1e-12, None)
+    scores = []
+    n = p.shape[0]
+    for i in range(splits):
+        part = p[i * n // splits:(i + 1) * n // splits]
+        if len(part) == 0:
+            continue
+        marginal = np.clip(part.mean(0, keepdims=True), 1e-12, None)
+        kl = (part * (np.log(np.clip(part, 1e-12, None))
+                      - np.log(marginal))).sum(-1)
+        scores.append(np.exp(kl.mean()))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+def r_precision(
+    sent_embs: np.ndarray,  # (N, D) caption embeddings
+    image_feats: np.ndarray,  # (N, D) matching image global features
+    n_mismatched: int = 99,
+    seed: int = 0,
+) -> float:
+    """Paper's R-precision: for each image, rank its true caption against
+    ``n_mismatched`` random captions by cosine similarity; score is the
+    fraction ranked first."""
+    s = np.asarray(sent_embs, np.float64)
+    g = np.asarray(image_feats, np.float64)
+    s = s / np.clip(np.linalg.norm(s, axis=1, keepdims=True), 1e-12, None)
+    g = g / np.clip(np.linalg.norm(g, axis=1, keepdims=True), 1e-12, None)
+    n = s.shape[0]
+    rng = np.random.default_rng(seed)
+    hits = 0
+    for i in range(n):
+        wrong = rng.choice(np.delete(np.arange(n), i),
+                           size=min(n_mismatched, n - 1), replace=False)
+        cand = np.concatenate([[i], wrong])
+        sims = s[cand] @ g[i]
+        hits += int(np.argmax(sims) == 0)
+    return hits / max(n, 1)

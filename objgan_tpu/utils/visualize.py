@@ -1,0 +1,99 @@
+"""Attention-map visualization grids — the lineage's ``build_super_images``
+(``miscc/utils.py``; SURVEY.md §2.3 "Visualization"), the model family's
+main qualitative debugging tool.
+
+Dependency-light: pure numpy compositing; PNG written via the minimal
+encoder below (no PIL requirement — PIL is used if importable).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+def _to_uint8(img: np.ndarray) -> np.ndarray:
+    """[-1, 1] float -> uint8."""
+    return np.clip((np.asarray(img, np.float32) + 1.0) * 127.5, 0, 255).astype(
+        np.uint8
+    )
+
+
+def _resize_nearest(img: np.ndarray, size: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    yi = (np.arange(size) * h // size).clip(0, h - 1)
+    xi = (np.arange(size) * w // size).clip(0, w - 1)
+    return img[yi][:, xi]
+
+
+def attention_overlay(
+    image: np.ndarray,  # (S, S, 3) in [-1, 1]
+    attn: np.ndarray,  # (h, w) one word's attention map
+    alpha: float = 0.6,
+) -> np.ndarray:
+    """Overlay one attention map on an image (uint8 out)."""
+    base = _to_uint8(image).astype(np.float32)
+    a = np.asarray(attn, np.float32)
+    a = (a - a.min()) / max(a.max() - a.min(), 1e-8)
+    a = _resize_nearest(a[..., None], base.shape[0])[..., 0]
+    heat = np.stack([a * 255, a * 64, (1 - a) * 160], axis=-1)
+    out = (1 - alpha * a[..., None]) * base + alpha * a[..., None] * heat
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def build_super_images(
+    images: np.ndarray,  # (B, S, S, 3) generated images in [-1, 1]
+    attn_maps: np.ndarray,  # (B, h, w, T) grid attention
+    captions: Optional[np.ndarray] = None,  # (B, T) token ids (unused in grid)
+    cap_lens: Optional[np.ndarray] = None,
+    max_words: int = 8,
+    max_rows: int = 8,
+) -> np.ndarray:
+    """One big uint8 grid: each row = [image | per-word attention overlays]."""
+    b = min(images.shape[0], max_rows)
+    t = min(attn_maps.shape[-1], max_words)
+    size = images.shape[1]
+    rows = []
+    for i in range(b):
+        cells = [_to_uint8(images[i])]
+        n = int(cap_lens[i]) if cap_lens is not None else t
+        for w in range(t):
+            if w < n:
+                cells.append(attention_overlay(images[i], attn_maps[i, :, :, w]))
+            else:
+                cells.append(np.zeros((size, size, 3), np.uint8))
+        rows.append(np.concatenate(cells, axis=1))
+    return np.concatenate(rows, axis=0)
+
+
+def save_png(path: str, img: np.ndarray) -> None:
+    """Write an (H, W, 3) uint8 PNG (PIL if present, else minimal encoder)."""
+    img = np.ascontiguousarray(img, np.uint8)
+    try:
+        from PIL import Image
+
+        Image.fromarray(img).save(path)
+        return
+    except Exception:
+        pass
+    h, w = img.shape[:2]
+    raw = b"".join(
+        b"\x00" + img[y].tobytes() for y in range(h)
+    )
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        c = struct.pack(">I", len(data)) + tag + data
+        return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+    with open(path, "wb") as f:
+        f.write(png)

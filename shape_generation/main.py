@@ -1,0 +1,33 @@
+#!/usr/bin/env python
+"""Stage-B entry point, mirroring the reference's ``shape_generation/main.py``
+yml-config CLI (SURVEY.md §3.4)."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", dest="cfg_file", default=None)
+    parser.add_argument("--manifest", default=None)
+    parser.add_argument("--captions_pickle", default=None)
+    parser.add_argument("--max_steps", type=int, default=10**9)
+    args = parser.parse_args()
+
+    from objgan_tpu import cli
+    from objgan_tpu.core.config import Config, cfg_from_file
+
+    cfg = cfg_from_file(args.cfg_file) if args.cfg_file else Config()
+    feed = None
+    if args.manifest:
+        from gan.main import build_feed
+
+        feed = build_feed(cfg, args)
+    cli.train_shape(cfg, feed, max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()

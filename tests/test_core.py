@@ -1,0 +1,184 @@
+"""Config / checkpoint / metrics / data-layer unit tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from objgan_tpu.core.config import Config, cfg_from_dict, cfg_from_file
+from objgan_tpu.data.glove import coco_label_table, vocab_table
+from objgan_tpu.data.pipeline import CocoFeed, _numpy_polygon_fill
+from objgan_tpu.data.tokenizer import Vocab, tokenize
+
+
+class TestConfig:
+    def test_defaults_and_branch_sizes(self):
+        cfg = Config()
+        assert cfg.branch_sizes == (64, 128, 256)
+
+    def test_merge_reference_keys(self):
+        cfg = cfg_from_dict(
+            {"TRAIN": {"BATCH_SIZE": 24, "FLAG": False},
+             "GAN": {"DF_DIM": 96}, "TREE": {"BRANCH_NUM": 2}}
+        )
+        assert cfg.TRAIN.BATCH_SIZE == 24
+        assert not cfg.TRAIN.FLAG
+        assert cfg.GAN.DF_DIM == 96
+        assert cfg.branch_sizes == (64, 128)
+
+    def test_unknown_key_rejected(self):
+        with pytest.raises(KeyError):
+            cfg_from_dict({"TRAIN": {"NOT_A_KEY": 1}})
+
+    def test_yml_roundtrip(self, tmp_path):
+        p = tmp_path / "cfg.yml"
+        p.write_text(
+            "CONFIG_NAME: 'coco_objgan'\n"
+            "TRAIN:\n  BATCH_SIZE: 14\n  SMOOTH:\n    GAMMA1: 4.0\n"
+            "TEXT:\n  WORDS_NUM: 12\n"
+        )
+        cfg = cfg_from_file(str(p))
+        assert cfg.CONFIG_NAME == "coco_objgan"
+        assert cfg.TRAIN.BATCH_SIZE == 14
+        assert cfg.TEXT.WORDS_NUM == 12
+
+    def test_hashable_for_jit(self):
+        hash(Config())  # frozen dataclass tree must be hashable
+
+
+class TestTokenizer:
+    def test_tokenize_matches_lineage_regex(self):
+        assert tokenize("A man, riding; a horse!") == [
+            "a", "man", "riding", "a", "horse"]
+
+    def test_vocab_roundtrip(self):
+        v = Vocab.build(["a man rides", "a horse runs"])
+        ids, n = v.encode("a horse rides", 6)
+        assert n == 3 and ids.shape == (6,)
+        assert v.decode(ids) == "a horse rides"
+        assert ids[3:].sum() == 0  # padding
+
+    def test_batch_encode(self):
+        v = Vocab.build(["one two three"])
+        caps, lens = v.encode_batch(["one", "two three"], 4)
+        assert caps.shape == (2, 4)
+        assert list(lens) == [1, 2]
+
+
+class TestGlove:
+    def test_label_table_shape_and_background_zero(self):
+        t = coco_label_table(16)
+        assert t.shape == (81, 16)
+        assert np.abs(t[0]).max() == 0.0
+        assert np.abs(t[1]).max() > 0.0  # person row populated
+
+    def test_deterministic(self):
+        a = vocab_table(["pad", "cat", "dog"], 8)
+        b = vocab_table(["pad", "cat", "dog"], 8)
+        np.testing.assert_array_equal(a, b)
+
+
+class TestNativeRasterizer:
+    def test_matches_numpy_fill(self):
+        from objgan_tpu.native import rasterize_polygon, rasterize_polygons
+
+        rng = np.random.default_rng(0)
+        for _ in range(5):
+            k = rng.integers(3, 9)
+            poly = rng.uniform(0.05, 0.95, (k, 2))
+            a = rasterize_polygon(poly, 24)
+            b = _numpy_polygon_fill(poly, 24)
+            np.testing.assert_array_equal(a, b)
+        polys = [rng.uniform(0, 1, (5, 2)) for _ in range(3)]
+        batched = rasterize_polygons(polys, 16)
+        for i, p in enumerate(polys):
+            np.testing.assert_array_equal(batched[i], rasterize_polygon(p, 16))
+
+
+class TestCocoFeed:
+    def _records(self, n=4):
+        rng = np.random.default_rng(1)
+        recs = []
+        for i in range(n):
+            k = int(rng.integers(1, 4))
+            recs.append({
+                "captions": [f"a cat number {i}", f"another cat {i}"],
+                "labels": rng.integers(1, 80, k).tolist(),
+                "boxes": rng.uniform(0.1, 0.4, (k, 4)).tolist(),
+                "polygons": [rng.uniform(0, 1, (6, 2)) for _ in range(k)],
+                "image": rng.integers(0, 255, (64, 64, 3)).astype(np.uint8),
+            })
+        return recs
+
+    def test_batch_shapes(self, tiny_cfg):
+        vocab = Vocab.build(["a cat number another"])
+        feed = CocoFeed(tiny_cfg, self._records(), vocab)
+        batch = next(iter(feed))
+        b = tiny_cfg.TRAIN.BATCH_SIZE
+        o = tiny_cfg.OBJ.MAX_OBJECTS
+        s = tiny_cfg.OBJ.SHAPE_SIZE
+        assert batch["captions"].shape == (b, tiny_cfg.TEXT.WORDS_NUM)
+        assert batch["boxes"].shape == (b, o, 4)
+        assert batch["shapes"].shape == (b, o, s, s)
+        assert batch["obj_valid"].shape == (b, o)
+        assert len(batch["images"]) == tiny_cfg.TREE.BRANCH_NUM
+        assert batch["images"][0].dtype == np.float32
+        assert batch["images"][0].min() >= -1.0
+        # padded objects have empty masks
+        inv = batch["obj_valid"] == 0
+        assert batch["shapes"][inv].sum() == 0.0
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path, tiny_cfg):
+        from objgan_tpu.core import checkpoint as ckpt
+        from objgan_tpu.data.synthetic import synthetic_batch
+        from objgan_tpu.train.box import BoxTrainer
+
+        tr = BoxTrainer(tiny_cfg)
+        batch = synthetic_batch(tiny_cfg, jax.random.PRNGKey(0),
+                                with_images=False)
+        state = tr.init_state(jax.random.PRNGKey(0), batch)
+        mgr = ckpt.make_manager(str(tmp_path / "ck"), max_to_keep=2)
+        ckpt.save(mgr, 1, state)
+        ckpt.wait(mgr)
+        restored = ckpt.restore_latest(mgr, state)
+        assert restored is not None
+        a = jax.tree.leaves(state.params)[0]
+        b = jax.tree.leaves(restored.params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_torch_conversion_layouts(self):
+        import torch
+
+        from objgan_tpu.core.checkpoint import convert_torch_state_dict
+
+        sd = {
+            "fc.weight": torch.arange(6.0).reshape(2, 3),
+            "conv.weight": torch.arange(24.0).reshape(2, 3, 2, 2),
+            "fc.bias": torch.zeros(2),
+        }
+        out = convert_torch_state_dict(sd, {
+            "fc.weight": "dense/kernel",
+            "conv.weight": "conv/kernel",
+            "fc.bias": "dense/bias",
+        })
+        assert out["dense/kernel"].shape == (3, 2)
+        assert out["conv/kernel"].shape == (2, 2, 3, 2)
+
+
+class TestVisualize:
+    def test_super_image_grid_and_png(self, tmp_path):
+        from objgan_tpu.utils.visualize import build_super_images, save_png
+
+        imgs = np.random.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+        attn = np.random.uniform(0, 1, (2, 8, 8, 5)).astype(np.float32)
+        grid = build_super_images(imgs, attn, cap_lens=np.array([3, 5]),
+                                  max_words=4)
+        assert grid.dtype == np.uint8
+        assert grid.shape == (32, 16 * 5, 3)
+        p = str(tmp_path / "grid.png")
+        save_png(p, grid)
+        assert os.path.getsize(p) > 100

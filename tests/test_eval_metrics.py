@@ -1,0 +1,45 @@
+"""Sanity tests for the FID / IS / R-precision implementations."""
+
+import numpy as np
+
+from objgan_tpu.utils.eval_metrics import (
+    frechet_distance,
+    inception_score,
+    r_precision,
+)
+
+
+def test_fid_zero_for_identical_sets():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(500, 16))
+    assert frechet_distance(a, a.copy()) < 1e-6
+
+
+def test_fid_grows_with_mean_shift():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(500, 8))
+    near = rng.normal(size=(500, 8)) + 0.1
+    far = rng.normal(size=(500, 8)) + 3.0
+    assert frechet_distance(a, near) < frechet_distance(a, far)
+    # analytic check: same cov, mean shift d -> FID ~ d^2 * dim
+    shift = a + 2.0
+    fid = frechet_distance(a, shift)
+    assert abs(fid - 4.0 * 8) < 2.0
+
+
+def test_inception_score_bounds():
+    n, c = 200, 10
+    uniform = np.full((n, c), 1.0 / c)
+    is_u, _ = inception_score(uniform, splits=2)
+    assert abs(is_u - 1.0) < 1e-6  # uniform conditionals -> IS 1
+    onehot = np.eye(c)[np.arange(n) % c]
+    is_o, _ = inception_score(onehot, splits=2)
+    assert is_o > c - 1  # confident + diverse -> IS ~ C
+
+
+def test_r_precision_perfect_and_random():
+    rng = np.random.default_rng(1)
+    feats = rng.normal(size=(50, 16))
+    assert r_precision(feats, feats, n_mismatched=20) == 1.0
+    other = rng.normal(size=(50, 16))
+    assert r_precision(other, feats, n_mismatched=20) < 0.5

@@ -1,0 +1,119 @@
+"""2-step training smoke tests per stage on synthetic data (SURVEY.md §4
+tier 3) plus Stage-A decode behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from objgan_tpu.data.synthetic import synthetic_batch
+from objgan_tpu.train.box import BoxTrainer
+from objgan_tpu.train.damsm import DamsmTrainer
+from objgan_tpu.train.gan import GanTrainer
+from objgan_tpu.train.shape import ShapeTrainer
+
+
+def _finite_tree(tree):
+    return all(
+        bool(jnp.all(jnp.isfinite(x))) for x in jax.tree.leaves(tree)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+    )
+
+
+@pytest.fixture(scope="module")
+def cfg(tiny_cfg):
+    return tiny_cfg.replace(DTYPE="float32")
+
+
+@pytest.fixture(scope="module")
+def batch(cfg):
+    return synthetic_batch(cfg, jax.random.PRNGKey(11))
+
+
+class TestBoxTrainer:
+    def test_two_steps_reduce_loss_and_sample(self, cfg, batch):
+        tr = BoxTrainer(cfg)
+        state = tr.init_state(jax.random.PRNGKey(0), batch)
+        step = tr.jitted_train_step()
+        losses = []
+        for i in range(8):
+            state, aux = step(state, batch)
+            losses.append(float(aux["box_total"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]  # memorizing one tiny batch
+        out = tr.jitted_sample()(
+            state, batch["captions"], batch["cap_lens"], jax.random.PRNGKey(1)
+        )
+        o = cfg.BOX.MAX_SEQ_LENGTH
+        b = batch["captions"].shape[0]
+        assert out["labels"].shape == (b, o)
+        assert out["boxes"].shape == (b, o, 4)
+        # boxes in [0,1]; invalid steps zeroed; labels 0 where invalid
+        assert float(out["boxes"].min()) >= 0.0
+        assert float(out["boxes"].max()) <= 1.0
+        inv = 1.0 - out["obj_valid"]
+        assert float(jnp.abs(out["boxes"] * inv[..., None]).max()) == 0.0
+
+    def test_stop_monotone(self, cfg, batch):
+        """Once STOP is emitted, every later step is invalid."""
+        tr = BoxTrainer(cfg)
+        state = tr.init_state(jax.random.PRNGKey(0), batch)
+        out = tr.jitted_sample()(
+            state, batch["captions"], batch["cap_lens"], jax.random.PRNGKey(2)
+        )
+        v = np.asarray(out["obj_valid"])
+        for row in v:
+            seen_zero = False
+            for x in row:
+                if x == 0:
+                    seen_zero = True
+                assert not (seen_zero and x == 1)
+
+
+class TestShapeTrainer:
+    def test_two_steps(self, cfg, batch):
+        tr = ShapeTrainer(cfg)
+        state = tr.init_state(jax.random.PRNGKey(0), batch)
+        step = tr.jitted_train_step()
+        for i in range(2):
+            state, aux = step(state, batch, jax.random.PRNGKey(i))
+        assert _finite_tree(aux)
+        assert _finite_tree(state.g_params)
+        masks = tr.jitted_sample()(
+            state, batch["boxes"], batch["labels"], batch["obj_valid"],
+            jax.random.PRNGKey(3),
+        )
+        s = cfg.OBJ.SHAPE_SIZE
+        assert masks.shape == batch["shapes"].shape
+        assert float(masks.min()) >= 0.0 and float(masks.max()) <= 1.0
+
+
+class TestDamsmTrainer:
+    def test_two_steps(self, cfg, batch):
+        tr = DamsmTrainer(cfg)
+        state = tr.init_state(jax.random.PRNGKey(0), batch)
+        step = tr.jitted_train_step()
+        for i in range(2):
+            state, aux = step(state, batch, jax.random.PRNGKey(i))
+        assert _finite_tree(aux)
+        assert _finite_tree(state.text_params)
+
+
+class TestGanTrainer:
+    def test_two_steps_and_sampling(self, cfg, batch):
+        tr = GanTrainer(cfg)
+        state = tr.init_state(jax.random.PRNGKey(0), batch)
+        step = tr.jitted_train_step()
+        p0 = jax.tree.leaves(state.g_params)[0].copy()
+        for i in range(2):
+            state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        assert _finite_tree(metrics)
+        assert _finite_tree(state.g_params)
+        # params actually moved
+        p1 = jax.tree.leaves(state.g_params)[0]
+        assert float(jnp.abs(p1 - p0).max()) > 0.0
+        # frozen encoders untouched by donation/update
+        out = tr.jitted_sample()(state, batch, jax.random.PRNGKey(9))
+        for img, size in zip(out["images"], cfg.branch_sizes):
+            assert img.shape == (batch["captions"].shape[0], size, size, 3)
+            assert bool(jnp.all(jnp.isfinite(img)))
