@@ -178,8 +178,12 @@ def train_box(cfg: Config, data_iter: Optional[Iterator] = None,
               max_steps, needs_rng=False)
 
 
-def sample_box(cfg: Config, captions, cap_lens, out_path: Optional[str] = None):
-    """Caption -> layout (reference ``box_generation/sample.py``)."""
+def sample_box(cfg: Config, captions, cap_lens, out_path: Optional[str] = None,
+               use_beam: Optional[bool] = None):
+    """Caption -> layout (reference ``box_generation/sample.py``).
+
+    ``use_beam`` defaults to BEAM_SIZE > 1 (beam decode, mixture-mean boxes);
+    otherwise temperature sampling."""
     import json
 
     from objgan_tpu.train.box import BoxTrainer
@@ -193,7 +197,11 @@ def sample_box(cfg: Config, captions, cap_lens, out_path: Optional[str] = None):
     restored = ckpt.restore_latest(manager, state)
     if restored is not None:
         state = restored
-    out = trainer.jitted_sample()(state, captions, cap_lens, rng)
+    if use_beam is None:
+        use_beam = cfg.BOX.BEAM_SIZE > 1
+    sampler = (trainer.jitted_beam_sample() if use_beam
+               else trainer.jitted_sample())
+    out = sampler(state, captions, cap_lens, rng)
     layout = {
         "labels": np.asarray(out["labels"]).tolist(),
         "boxes": np.asarray(out["boxes"]).tolist(),

@@ -146,15 +146,22 @@ class BoxGenerator(nn.Module):
         self.decoder = BoxDecoder(c, name="decoder")
 
     def teacher_forced(
-        self, captions, cap_lens, labels, boxes, obj_valid
+        self, captions, cap_lens, labels, boxes, obj_valid,
+        ss_prob: float = 0.0, rng: jax.Array | None = None,
     ) -> Dict[str, jnp.ndarray]:
         """Teacher-forced pass over the GT layout sequence.
 
         labels (B, O) with 0 padding; boxes (B, O, 4); obj_valid (B, O).
         Returns per-step label logits (B, O+1, C) — the extra step is the
         STOP prediction after the last object — and box params (B, O, P).
+
+        ``ss_prob`` > 0 enables scheduled sampling (the lineage's
+        ``scheduled_sampling_prob``): per step and example, with probability
+        p the decoder is fed its own previous prediction (argmax label,
+        mixture-mean box) instead of the ground truth.
         """
         b, o = labels.shape
+        use_ss = ss_prob > 0.0 and rng is not None
         enc_states, mean_state, enc_valid = self.encoder(captions, cap_lens)
         state = self.decoder.init_state(b)
         # inputs at step t: object t-1 (BOS = STOP label + zero box)
@@ -162,31 +169,30 @@ class BoxGenerator(nn.Module):
             [jnp.full((b, 1), STOP, labels.dtype), labels], axis=1
         )
         in_boxes = jnp.concatenate([jnp.zeros((b, 1, 4), boxes.dtype), boxes], 1)
-
-        def step(state, inp):
-            lab_t, box_t = inp
-            state, logits, params, alpha = self.decoder.step(
-                state, lab_t, box_t, enc_states, mean_state, enc_valid
-            )
-            return state, (logits, params, alpha)
-
-        xs = (jnp.swapaxes(in_labels, 0, 1), jnp.swapaxes(in_boxes, 0, 1))
-        _, (logits, params, alphas) = self._scan_steps(
-            state, xs, enc_states, mean_state, enc_valid
+        n_steps = o + 1
+        step_rngs = (
+            jax.random.split(rng, n_steps) if use_ss
+            else jnp.zeros((n_steps, 2), jnp.uint32)
         )
-        return {
-            "label_logits": jnp.swapaxes(logits, 0, 1),  # (B, O+1, C)
-            "box_params": jnp.swapaxes(params, 0, 1),  # (B, O+1, P)
-            "alphas": jnp.swapaxes(alphas, 0, 1),  # (B, O+1, T)
-        }
+        gmm_k = self.cfg.OBJ.GMM_COMPONENTS
 
-    def _scan_steps(self, state, xs, enc_states, mean_state, enc_valid):
         def body(mdl, carry, x):
-            lab_t, box_t = x
+            dec_state, prev_pred_lab, prev_pred_box = carry
+            gt_lab, gt_box, r = x
+            if use_ss:
+                flip = jax.random.bernoulli(r, ss_prob, (b,))
+                lab_in = jnp.where(flip, prev_pred_lab, gt_lab)
+                box_in = jnp.where(flip[:, None], prev_pred_box, gt_box)
+            else:
+                lab_in, box_in = gt_lab, gt_box
             new_state, logits, params, alpha = mdl.decoder.step(
-                carry, lab_t, box_t, enc_states, mean_state, enc_valid
+                dec_state, lab_in, box_in, enc_states, mean_state, enc_valid
             )
-            return new_state, (logits, params, alpha)
+            pred_lab = jnp.argmax(logits, axis=-1).astype(gt_lab.dtype)
+            pred_box = jnp.clip(gmm.mean(params, gmm_k), 0.0, 1.0).astype(
+                gt_box.dtype
+            )
+            return (new_state, pred_lab, pred_box), (logits, params, alpha)
 
         scan = nn.scan(
             body,
@@ -195,7 +201,18 @@ class BoxGenerator(nn.Module):
             in_axes=0,
             out_axes=0,
         )
-        return scan(self, state, xs)
+        xs = (
+            jnp.swapaxes(in_labels, 0, 1),
+            jnp.swapaxes(in_boxes, 0, 1),
+            step_rngs,
+        )
+        carry0 = (state, in_labels[:, 0], in_boxes[:, 0])
+        _, (logits, params, alphas) = scan(self, carry0, xs)
+        return {
+            "label_logits": jnp.swapaxes(logits, 0, 1),  # (B, O+1, C)
+            "box_params": jnp.swapaxes(params, 0, 1),  # (B, O+1, P)
+            "alphas": jnp.swapaxes(alphas, 0, 1),  # (B, O+1, T)
+        }
 
     def sample(self, captions, cap_lens, rng, temperature=None,
                gmm_temperature=None) -> Dict[str, jnp.ndarray]:
@@ -246,8 +263,125 @@ class BoxGenerator(nn.Module):
             "obj_valid": jnp.swapaxes(valid, 0, 1),  # (B, O)
         }
 
-    def __call__(self, captions, cap_lens, labels, boxes, obj_valid):
-        return self.teacher_forced(captions, cap_lens, labels, boxes, obj_valid)
+    def beam_sample(self, captions, cap_lens, rng,
+                    beam_size: int | None = None) -> Dict[str, jnp.ndarray]:
+        """Beam search over label sequences (the captioning lineage's
+        ``CaptionModel`` beam decode), one jittable scan.
+
+        Beams rank by accumulated label log-probability; boxes come from the
+        mixture mean of each kept beam's step (deterministic given the beam).
+        Returns the best beam per example, same contract as :meth:`sample`.
+        """
+        c = self.cfg
+        k = beam_size or c.BOX.BEAM_SIZE
+        b = captions.shape[0]
+        n_cls = c.OBJ.NUM_CLASSES
+        enc_states, mean_state, enc_valid = self.encoder(captions, cap_lens)
+
+        def expand(x):  # (B, ...) -> (B*K, ...)
+            return jnp.repeat(x, k, axis=0)
+
+        enc_states_e = expand(enc_states)
+        mean_state_e = expand(mean_state)
+        enc_valid_e = expand(enc_valid)
+
+        state = self.decoder.init_state(b * k)
+        # beam 0 active, others -inf so step 1 fans out from one root
+        scores0 = jnp.tile(
+            jnp.concatenate(
+                [jnp.zeros((1,)), jnp.full((k - 1,), -1e9)]
+            )[None], (b, 1)
+        ) if k > 1 else jnp.zeros((b, 1))
+        t_max = c.BOX.MAX_SEQ_LENGTH
+        init = (
+            state,
+            jnp.full((b * k,), STOP, jnp.int32),  # prev labels
+            jnp.zeros((b * k, 4), jnp.float32),  # prev boxes
+            jnp.ones((b * k,), jnp.float32),  # alive
+            scores0,  # (B, K)
+            # histories ride in the carry and are re-gathered on every beam
+            # reordering (backtracking-free beam search)
+            jnp.zeros((b * k, t_max), jnp.int32),  # hist labels
+            jnp.zeros((b * k, t_max, 4), jnp.float32),  # hist boxes
+            jnp.zeros((b * k, t_max), jnp.float32),  # hist valid
+            jnp.zeros((), jnp.int32),  # step index
+        )
+
+        def gather_beams(x, src):  # x (B*K, ...) gathered by src (B, K)
+            xs = x.reshape(b, k, *x.shape[1:])
+            idx = src.reshape(b, k, *([1] * (x.ndim - 1)))
+            return jnp.take_along_axis(
+                xs, idx.astype(jnp.int32), axis=1
+            ).reshape(x.shape)
+
+        def body(mdl, carry, _):
+            (state, prev_lab, prev_box, alive, scores,
+             hist_lab, hist_box, hist_valid, step_i) = carry
+            state, logits, params, _ = mdl.decoder.step(
+                state, prev_lab, prev_box, enc_states_e, mean_state_e,
+                enc_valid_e,
+            )
+            logp = jax.nn.log_softmax(logits, axis=-1)  # (B*K, C)
+            # dead beams can only emit STOP at zero cost
+            dead_row = jnp.full((n_cls,), -1e9).at[STOP].set(0.0)
+            logp = jnp.where(alive[:, None] > 0, logp, dead_row[None])
+            cand = scores.reshape(b * k, 1) + logp  # (B*K, C)
+            cand = cand.reshape(b, k * n_cls)
+            top_scores, top_idx = jax.lax.top_k(cand, k)  # (B, K)
+            src_beam = top_idx // n_cls  # (B, K)
+            new_lab = (top_idx % n_cls).reshape(b * k).astype(jnp.int32)
+            # reindex every per-beam tensor to the chosen source beams
+            state = jax.tree.map(lambda t: gather_beams(t, src_beam), state)
+            alive = gather_beams(alive, src_beam)
+            params = gather_beams(params, src_beam)
+            hist_lab = gather_beams(hist_lab, src_beam)
+            hist_box = gather_beams(hist_box, src_beam)
+            hist_valid = gather_beams(hist_valid, src_beam)
+            box = gmm.mean(params, c.OBJ.GMM_COMPONENTS)
+            box = jnp.clip(box, 0.0, 1.0)
+            new_lab = jnp.where(alive > 0, new_lab, STOP)
+            valid = alive * (new_lab != STOP)
+            box = box * valid[:, None]
+            new_alive = alive * (new_lab != STOP)
+            hist_lab = hist_lab.at[:, step_i].set(new_lab)
+            hist_box = hist_box.at[:, step_i].set(box)
+            hist_valid = hist_valid.at[:, step_i].set(valid)
+            return (
+                (state, new_lab, box, new_alive, top_scores,
+                 hist_lab, hist_box, hist_valid, step_i + 1),
+                (),
+            )
+
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+            length=t_max,
+        )
+        (_, _, _, _, final_scores, hist_lab, hist_box, hist_valid, _), _ = (
+            scan(self, init, None)
+        )
+        # pick the best beam per example
+        best = jnp.argmax(final_scores, axis=-1)  # (B,)
+
+        def pick(x):  # (B*K, T, ...) -> (B, T, ...)
+            xs = x.reshape(b, k, *x.shape[1:])
+            idx = best.reshape(b, 1, *([1] * (x.ndim - 1)))
+            return jnp.take_along_axis(xs, idx.astype(jnp.int32), axis=1)[:, 0]
+
+        return {
+            "labels": pick(hist_lab),
+            "boxes": pick(hist_box),
+            "obj_valid": pick(hist_valid),
+            "beam_scores": final_scores,
+        }
+
+    def __call__(self, captions, cap_lens, labels, boxes, obj_valid,
+                 ss_prob: float = 0.0, rng: jax.Array | None = None):
+        return self.teacher_forced(captions, cap_lens, labels, boxes,
+                                   obj_valid, ss_prob=ss_prob, rng=rng)
 
 
 def box_loss(outputs: Dict[str, jnp.ndarray], labels, boxes, obj_valid,

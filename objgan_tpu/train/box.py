@@ -43,17 +43,18 @@ class BoxTrainer:
         return BoxTrainState(jnp.zeros((), jnp.int32), params,
                              self.tx.init(params))
 
-    def loss(self, params, batch):
+    def loss(self, params, batch, rng=None):
         out = self.model.apply(
             params, batch["captions"], batch["cap_lens"], batch["labels"],
             batch["boxes"], batch["obj_valid"],
+            ss_prob=self.cfg.BOX.SCHEDULED_SAMPLING_PROB, rng=rng,
         )
         return box_loss(out, batch["labels"], batch["boxes"],
                         batch["obj_valid"], self.cfg.OBJ.GMM_COMPONENTS)
 
-    def train_step(self, state: BoxTrainState, batch):
+    def train_step(self, state: BoxTrainState, batch, rng=None):
         (loss, aux), grads = jax.value_and_grad(self.loss, has_aux=True)(
-            state.params, batch
+            state.params, batch, rng
         )
         upd, opt = self.tx.update(grads, state.opt, state.params)
         new = state.replace(
@@ -69,8 +70,18 @@ class BoxTrainer:
             state.params, captions, cap_lens, rng, method=BoxGenerator.sample
         )
 
+    def beam_sample(self, state: BoxTrainState, captions, cap_lens, rng):
+        return self.model.apply(
+            state.params, captions, cap_lens, rng,
+            beam_size=self.cfg.BOX.BEAM_SIZE,
+            method=BoxGenerator.beam_sample,
+        )
+
     def jitted_train_step(self):
         return jax.jit(self.train_step, donate_argnums=(0,))
 
     def jitted_sample(self):
         return jax.jit(self.sample)
+
+    def jitted_beam_sample(self):
+        return jax.jit(self.beam_sample)

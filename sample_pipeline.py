@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Composed end-to-end sampling CLI: caption -> layout -> masks -> 256px image
+in one jitted program (the reference requires running the three stages
+manually — SURVEY.md §1).
+
+    python sample_pipeline.py --cfg cfg/eval_coco.yml \
+        --caption "two dogs play in a park" --out out_dir
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", dest="cfg_file", default=None)
+    ap.add_argument("--caption", action="append", default=None)
+    ap.add_argument("--captions_pickle", default=None)
+    ap.add_argument("--out", default="output/pipeline_samples")
+    args = ap.parse_args()
+
+    import jax
+
+    from objgan_tpu.core.config import Config, cfg_from_file
+    from objgan_tpu.data.synthetic import synthetic_batch
+    from objgan_tpu.data.tokenizer import Vocab
+    from objgan_tpu.pipeline_e2e import ObjGanPipeline
+    from objgan_tpu.utils.visualize import _to_uint8, save_png
+
+    cfg = cfg_from_file(args.cfg_file) if args.cfg_file else Config()
+    captions = args.caption or ["a person riding a horse on a beach"]
+    vocab = (
+        Vocab.from_reference_pickle(args.captions_pickle)
+        if args.captions_pickle else Vocab.build(captions)
+    )
+    caps, lens = vocab.encode_batch(captions, cfg.TEXT.WORDS_NUM)
+
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    pipe = ObjGanPipeline(cfg)
+    init_batch = synthetic_batch(cfg, rng, max(2, len(captions)))
+    states = pipe.load_states(rng, init_batch)
+    gen = pipe.jitted_generate()
+    out = gen(states, np.asarray(caps), np.asarray(lens), rng)
+
+    os.makedirs(args.out, exist_ok=True)
+    imgs = np.asarray(out["images"][-1])
+    for i, cap in enumerate(captions):
+        save_png(os.path.join(args.out, f"pipe_{i}.png"), _to_uint8(imgs[i]))
+        kept = [
+            (int(l), [round(float(x), 3) for x in b])
+            for l, b, v in zip(
+                np.asarray(out["labels"])[i], np.asarray(out["boxes"])[i],
+                np.asarray(out["obj_valid"])[i]) if v
+        ]
+        print(f"{cap!r} -> {len(kept)} objects {kept}")
+    print(f"wrote {len(captions)} images to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
