@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Quality evaluation: FID / Inception Score / R-precision over generated
+samples (the reference computes FID/IS with external scripts on dumped
+folders — SURVEY.md §3.2; here it is one in-framework pass).
+
+    python gan/eval.py --cfg cfg/eval_coco.yml --num_batches 20 \
+        [--manifest records.json] [--strict]
+
+``--strict`` uses the full Inception-v3 (load torchvision weights first for
+published-comparable numbers); default is the self-consistent "lite" mode
+over the framework's own encoder.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", dest="cfg_file", default=None)
+    ap.add_argument("--manifest", default=None)
+    ap.add_argument("--captions_pickle", default=None)
+    ap.add_argument("--grain", action="store_true")
+    ap.add_argument("--num_batches", type=int, default=10)
+    ap.add_argument("--strict", action="store_true",
+                    help="full Inception-v3 activations (standard FID/IS)")
+    args = ap.parse_args()
+
+    import jax
+
+    from gan.main import build_feed
+    from objgan_tpu.core import checkpoint as ckpt
+    from objgan_tpu.core.config import Config, cfg_from_file
+    from objgan_tpu.data.synthetic import synthetic_batch
+    from objgan_tpu.train.gan import GanTrainer
+    from objgan_tpu.utils.eval_metrics import r_precision
+    from objgan_tpu.utils.fid_runner import (
+        compute_fid_is, make_inception_extractor, make_lite_extractor,
+    )
+
+    cfg = cfg_from_file(args.cfg_file) if args.cfg_file else Config()
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    trainer = GanTrainer(cfg)
+    feed = build_feed(cfg, args)
+
+    def batches():
+        if feed is not None:
+            yield from feed
+        else:
+            i = 0
+            while True:
+                yield synthetic_batch(cfg, jax.random.fold_in(rng, i))
+                i += 1
+
+    it = batches()
+    first = next(it)
+    state = trainer.init_state(rng, first)
+    manager = ckpt.make_manager(
+        os.path.join(cfg.OUTPUT_DIR, f"{cfg.CONFIG_NAME}_gan", "ckpt"))
+    restored = ckpt.restore_latest(manager, state)
+    if restored is not None:
+        state = restored
+        print(f"evaluating checkpoint at step {int(state.step)}")
+    sample_jit = trainer.jitted_sample()
+
+    if args.strict:
+        extractor, _ = make_inception_extractor()
+        mode = "strict-inception (untrained unless weights converted)"
+    else:
+        extractor, _ = make_lite_extractor(cfg, params=None)
+        mode = "lite (framework encoder)"
+
+    reals, fakes, sents, globals_ = [], [], [], []
+    import itertools
+
+    text_apply = jax.jit(trainer.text_enc.apply)
+    img_apply = jax.jit(trainer.img_enc.apply)
+    for i, batch in enumerate(itertools.chain([first], it)):
+        if i >= args.num_batches:
+            break
+        out = sample_jit(state, batch, jax.random.fold_in(rng, 1000 + i))
+        fake = np.asarray(out["images"][-1])
+        real = np.asarray(batch["images"][-1])
+        reals.append(real)
+        fakes.append(fake)
+        _, sent = text_apply(state.text_params, batch["captions"],
+                             batch["cap_lens"])
+        _, gfeat = img_apply(state.img_params, out["images"][-1])
+        sents.append(np.asarray(sent))
+        globals_.append(np.asarray(gfeat))
+
+    fid, (is_m, is_s) = compute_fid_is(reals, fakes, extractor)
+    rp = r_precision(np.concatenate(sents), np.concatenate(globals_))
+    n = sum(f.shape[0] for f in fakes)
+    print(f"eval over {n} samples [{mode}]")
+    print(f"FID: {fid:.3f}")
+    print(f"IS: {is_m:.3f} +/- {is_s:.3f}")
+    print(f"R-precision: {rp:.3f}")
+
+
+if __name__ == "__main__":
+    main()

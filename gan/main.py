@@ -27,6 +27,10 @@ def build_feed(cfg, args):
             if args.captions_pickle
             else Vocab.build(c for r in records for c in r["captions"])
         )
+        if getattr(args, "grain", False):
+            from objgan_tpu.data.grain_feed import grain_feed
+
+            return grain_feed(cfg, records, vocab, seed=cfg.RNG_SEED)
         return iter(CocoFeed(cfg, records, vocab, seed=cfg.RNG_SEED))
     return None
 
@@ -39,6 +43,8 @@ def main():
                         help="dataset manifest JSON (see data/pipeline.py)")
     parser.add_argument("--captions_pickle", default=None,
                         help="reference captions.pickle for vocab parity")
+    parser.add_argument("--grain", action="store_true",
+                        help="use the Grain multi-worker host feed")
     parser.add_argument("--max_steps", type=int, default=10**9)
     parser.add_argument("--num_batches", type=int, default=10,
                         help="sampling: batches to generate")

@@ -84,7 +84,9 @@ def train_gan(cfg: Config, data_iter: Optional[Iterator] = None,
     out = _out_dir(cfg, "gan")
     trainer = GanTrainer(cfg)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
-    first = next(_feed(cfg, data_iter, rng))
+    feed = _feed(cfg, data_iter, rng)
+    first = next(feed)
+    feed = itertools.chain([first], feed)
     state = trainer.init_state(rng, first)
     manager = ckpt.make_manager(os.path.join(out, "ckpt"))
     restored = ckpt.restore_latest(manager, state)
@@ -103,8 +105,7 @@ def train_gan(cfg: Config, data_iter: Optional[Iterator] = None,
         save_png(os.path.join(out, f"attn_step{step}.png"), grid)
 
     _run_loop(cfg, "gan", state, trainer.jitted_train_step(),
-              _feed(cfg, data_iter, rng), writer, manager, max_steps,
-              snapshot_hook=snapshot)
+              feed, writer, manager, max_steps, snapshot_hook=snapshot)
 
 
 def sample_gan(cfg: Config, data_iter: Optional[Iterator] = None,
@@ -116,7 +117,9 @@ def sample_gan(cfg: Config, data_iter: Optional[Iterator] = None,
     out = _out_dir(cfg, "gan_samples")
     trainer = GanTrainer(cfg)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
-    first = next(_feed(cfg, data_iter, rng))
+    feed = _feed(cfg, data_iter, rng)
+    first = next(feed)
+    feed = itertools.chain([first], feed)
     state = trainer.init_state(rng, first)
     manager = ckpt.make_manager(
         os.path.join(_out_dir(cfg, "gan"), "ckpt")
@@ -125,7 +128,6 @@ def sample_gan(cfg: Config, data_iter: Optional[Iterator] = None,
     if restored is not None:
         state = restored
     sample_jit = trainer.jitted_sample()
-    feed = _feed(cfg, data_iter, rng)
     n = 0
     for i, batch in enumerate(feed):
         if i >= num_batches:
@@ -148,7 +150,9 @@ def pretrain_damsm(cfg: Config, data_iter: Optional[Iterator] = None,
     out = _out_dir(cfg, "damsm")
     trainer = DamsmTrainer(cfg)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
-    first = next(_feed(cfg, data_iter, rng))
+    feed = _feed(cfg, data_iter, rng)
+    first = next(feed)
+    feed = itertools.chain([first], feed)
     state = trainer.init_state(rng, first)
     manager = ckpt.make_manager(os.path.join(out, "ckpt"))
     restored = ckpt.restore_latest(manager, state)
@@ -156,7 +160,7 @@ def pretrain_damsm(cfg: Config, data_iter: Optional[Iterator] = None,
         state = restored
     writer = MetricsWriter(out, "damsm")
     _run_loop(cfg, "damsm", state, trainer.jitted_train_step(),
-              _feed(cfg, data_iter, rng), writer, manager, max_steps)
+              feed, writer, manager, max_steps)
 
 
 def train_box(cfg: Config, data_iter: Optional[Iterator] = None,
@@ -166,7 +170,9 @@ def train_box(cfg: Config, data_iter: Optional[Iterator] = None,
     out = _out_dir(cfg, "box")
     trainer = BoxTrainer(cfg)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
-    first = next(_feed(cfg, data_iter, rng, with_images=False))
+    feed = _feed(cfg, data_iter, rng, with_images=False)
+    first = next(feed)
+    feed = itertools.chain([first], feed)
     state = trainer.init_state(rng, first)
     manager = ckpt.make_manager(os.path.join(out, "ckpt"))
     restored = ckpt.restore_latest(manager, state)
@@ -174,8 +180,7 @@ def train_box(cfg: Config, data_iter: Optional[Iterator] = None,
         state = restored
     writer = MetricsWriter(out, "box")
     _run_loop(cfg, "box", state, trainer.jitted_train_step(),
-              _feed(cfg, data_iter, rng, with_images=False), writer, manager,
-              max_steps, needs_rng=False)
+              feed, writer, manager, max_steps, needs_rng=False)
 
 
 def sample_box(cfg: Config, captions, cap_lens, out_path: Optional[str] = None,
@@ -220,7 +225,9 @@ def train_shape(cfg: Config, data_iter: Optional[Iterator] = None,
     out = _out_dir(cfg, "shape")
     trainer = ShapeTrainer(cfg)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
-    first = next(_feed(cfg, data_iter, rng, with_images=False))
+    feed = _feed(cfg, data_iter, rng, with_images=False)
+    first = next(feed)
+    feed = itertools.chain([first], feed)
     state = trainer.init_state(rng, first)
     manager = ckpt.make_manager(os.path.join(out, "ckpt"))
     restored = ckpt.restore_latest(manager, state)
@@ -228,5 +235,4 @@ def train_shape(cfg: Config, data_iter: Optional[Iterator] = None,
         state = restored
     writer = MetricsWriter(out, "shape")
     _run_loop(cfg, "shape", state, trainer.jitted_train_step(),
-              _feed(cfg, data_iter, rng, with_images=False), writer, manager,
-              max_steps)
+              feed, writer, manager, max_steps)

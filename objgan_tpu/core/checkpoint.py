@@ -87,16 +87,22 @@ def convert_torch_state_dict(
     return out
 
 
+def _path_key(path) -> str:
+    """'/'-joined flax path, dropping the top-level 'params' collection so
+    converter name maps don't have to carry it."""
+    keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    if keys and keys[0] == "params":
+        keys = keys[1:]
+    return "/".join(keys)
+
+
 def apply_converted(params: Any, converted: Mapping[str, np.ndarray]) -> Any:
-    """Write converted arrays into a flax param pytree by '/'-joined path;
-    shapes must match exactly."""
+    """Write converted arrays into a flax param pytree by '/'-joined path
+    (relative to the 'params' collection); shapes must match exactly."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     lookup = {}
     for path, leaf in flat:
-        key = "/".join(
-            getattr(p, "key", getattr(p, "name", str(p))) for p in path
-        )
-        lookup[key] = leaf
+        lookup[_path_key(path)] = leaf
 
     updated = dict(lookup)
     for key, arr in converted.items():
@@ -109,9 +115,6 @@ def apply_converted(params: Any, converted: Mapping[str, np.ndarray]) -> Any:
         updated[key] = jax.numpy.asarray(arr, lookup[key].dtype)
 
     def rebuild(path, leaf):
-        key = "/".join(
-            getattr(p, "key", getattr(p, "name", str(p))) for p in path
-        )
-        return updated[key]
+        return updated[_path_key(path)]
 
     return jax.tree_util.tree_map_with_path(rebuild, params)

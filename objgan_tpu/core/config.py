@@ -97,6 +97,10 @@ class TextConfig:
     RNN_TYPE: str = "LSTM"
     HIDDEN_DIM: int = 128     # per-direction bi-LSTM hidden (2*128 == EMBEDDING_DIM)
     GLOVE_DIM: int = 300
+    # DAMSM image backbone: "lite" (InceptionLite, trainable from scratch)
+    # or "inception" (full Inception-v3, frozen; load torchvision weights
+    # via models/inception_v3.load_torchvision_checkpoint for parity)
+    CNN_BACKBONE: str = "lite"
 
 
 @dataclass(frozen=True)

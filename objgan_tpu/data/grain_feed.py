@@ -1,0 +1,80 @@
+"""Grain-based host feed (NORTH-STAR: "COCO caption preprocessing, glove
+embedding lookup, and box/mask rasterization move into a host-side
+tf.data/Grain feed").
+
+Wraps the same per-record transform as :class:`data.pipeline.CocoFeed` in a
+``grain.python.DataLoader``: deterministic global shuffle, multi-worker
+parallel rasterization/tokenization (the C++ scanline rasterizer runs in the
+workers), and batch assembly off the main thread — the TPU step never waits
+on the host. Output pytree is identical to ``CocoFeed``/``synthetic_batch``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+from objgan_tpu.core.config import Config
+from objgan_tpu.data.pipeline import CocoFeed
+from objgan_tpu.data.tokenizer import Vocab
+
+
+class _RecordTransform:
+    """Picklable per-record map (runs in grain worker processes)."""
+
+    def __init__(self, cfg: Config, vocab: Vocab, with_images: bool):
+        self.feed = CocoFeed.__new__(CocoFeed)
+        self.feed.cfg = cfg
+        self.feed.vocab = vocab
+        self.feed.with_images = with_images
+        self.feed.records = []
+
+    def __call__(self, item):
+        record, seed = item
+        self.feed.rng = np.random.default_rng(seed)
+        return self.feed._one(record)
+
+
+def _collate(rows):
+    batch: Dict = {}
+    for k in rows[0]:
+        if k == "images":
+            batch[k] = [
+                np.stack([r[k][j] for r in rows])
+                for j in range(len(rows[0][k]))
+            ]
+        else:
+            batch[k] = np.stack([r[k] for r in rows])
+    return batch
+
+
+def grain_feed(
+    cfg: Config,
+    records: Sequence[Dict],
+    vocab: Vocab,
+    seed: int = 0,
+    with_images: bool = True,
+    num_epochs: Optional[int] = None,
+    worker_count: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Infinite (or ``num_epochs``-bounded) batch iterator via Grain."""
+    import grain.python as gp
+
+    transform = _RecordTransform(cfg, vocab, with_images)
+    ds = (
+        gp.MapDataset.source(list(records))
+        .seed(seed)
+        .shuffle()
+        .map_with_index(lambda i, rec: transform((rec, seed * 100003 + i)))
+    )
+    if num_epochs is None:
+        ds = ds.repeat(None)
+    else:
+        ds = ds.repeat(num_epochs)
+    ds = ds.batch(cfg.TRAIN.BATCH_SIZE, batch_fn=_collate)
+    it = ds.to_iter_dataset(
+        gp.ReadOptions(num_threads=max(1, worker_count or cfg.WORKERS),
+                       prefetch_buffer_size=4)
+    )
+    return iter(it)

@@ -109,5 +109,9 @@ def build_text_encoder(cfg: Config) -> RNNEncoder:
     )
 
 
-def build_image_encoder(cfg: Config, base_width: int = 32) -> CNNEncoder:
+def build_image_encoder(cfg: Config, base_width: int = 32):
+    if cfg.TEXT.CNN_BACKBONE == "inception":
+        from objgan_tpu.models.inception_v3 import InceptionEncoder
+
+        return InceptionEncoder(embed_dim=cfg.TEXT.EMBEDDING_DIM)
     return CNNEncoder(embed_dim=cfg.TEXT.EMBEDDING_DIM, base_width=base_width)

@@ -239,7 +239,16 @@ def roi_align(
     out_size: int = 7,
     sampling_ratio: int = 2,
 ) -> jnp.ndarray:
-    """Dispatch: Pallas kernel on TPU, XLA einsum elsewhere."""
-    if jax.default_backend() == "tpu":
+    """Dispatch: Pallas kernel on TPU, XLA einsum elsewhere.
+
+    Resolved at *lowering* time via ``lax.platform_dependent`` so the same
+    traced program works whether it lands on TPU or CPU (e.g. CPU-side param
+    init while the default backend is TPU)."""
+    if INTERPRET:
         return roi_align_pallas(features, boxes, out_size, sampling_ratio)
-    return roi_align_xla(features, boxes, out_size, sampling_ratio)
+    return jax.lax.platform_dependent(
+        features,
+        boxes,
+        tpu=lambda f, b: roi_align_pallas(f, b, out_size, sampling_ratio),
+        default=lambda f, b: roi_align_xla(f, b, out_size, sampling_ratio),
+    )

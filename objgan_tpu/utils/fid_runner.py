@@ -1,0 +1,80 @@
+"""Batched FID / Inception-Score computation over image sets.
+
+Strict mode (``backbone="inception"``): standard FID over Inception-v3 pool
+activations + IS over its logits — identical definitions to the reference's
+external eval scripts once torchvision weights are loaded
+(``models/inception_v3.load_torchvision_checkpoint``).
+
+Lite mode (default, zero-egress): activations from the framework's own
+DAMSM image encoder — self-consistent relative numbers for tracking
+training progress, clearly not comparable to published FID.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from objgan_tpu.utils.eval_metrics import frechet_distance, inception_score
+
+
+def make_inception_extractor(params=None, rng=None):
+    """Returns (extract_fn, params): images (B,S,S,3) in [-1,1] ->
+    (pool_acts (B,2048), probs (B,1000))."""
+    from objgan_tpu.models.inception_v3 import InceptionV3
+
+    model = InceptionV3()
+    if params is None:
+        params = model.init(
+            rng or jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3))
+        )
+
+    @jax.jit
+    def extract(p, images):
+        out = model.apply(p, images)
+        return out["pool"], jax.nn.softmax(out["logits"], axis=-1)
+
+    return lambda images: extract(params, images), params
+
+
+def make_lite_extractor(cfg, params=None, rng=None):
+    from objgan_tpu.models.damsm import build_image_encoder
+
+    enc = build_image_encoder(cfg)
+    size = cfg.branch_sizes[-1]
+    if params is None:
+        params = enc.init(
+            rng or jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3))
+        )
+
+    @jax.jit
+    def extract(p, images):
+        _, global_f = enc.apply(p, images)
+        # no classifier in lite mode: probs from feature softmax (IS is only
+        # meaningful in strict mode; still returned for API uniformity)
+        return global_f, jax.nn.softmax(global_f, axis=-1)
+
+    return lambda images: extract(params, images), params
+
+
+def compute_fid_is(
+    real_batches: Iterable[np.ndarray],
+    fake_batches: Iterable[np.ndarray],
+    extractor: Callable,
+) -> Tuple[float, Tuple[float, float]]:
+    """Stream batches through the extractor; returns (fid, (is_mean, is_std))."""
+    real_acts, fake_acts, fake_probs = [], [], []
+    for b in real_batches:
+        acts, _ = extractor(jnp.asarray(b))
+        real_acts.append(np.asarray(acts))
+    for b in fake_batches:
+        acts, probs = extractor(jnp.asarray(b))
+        fake_acts.append(np.asarray(acts))
+        fake_probs.append(np.asarray(probs))
+    fid = frechet_distance(np.concatenate(real_acts),
+                           np.concatenate(fake_acts))
+    is_score = inception_score(np.concatenate(fake_probs))
+    return fid, is_score
