@@ -24,20 +24,38 @@ import jax
 import jax.numpy as jnp
 
 
-def _time(fn, *args, warmup=2, iters=10):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+def _bench(fn, args_for, warmup=2, iters=10):
+    """(fenced_median_s, pipelined_avg_s) with *distinct* inputs per call.
+
+    Inputs MUST vary per iteration: the axon relay dedupes identical
+    (executable, args) executions, which once produced a physically
+    impossible 900 TFLOP/s reading. Fenced = per-call block_until_ready
+    (true latency incl. host round trip); pipelined = enqueue all, fence
+    once (steady-state training/sampling throughput).
+    """
+    for i in range(warmup):
+        jax.block_until_ready(fn(*args_for(1000 + i)))
+    fenced = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args_for(2000 + i)))
+        fenced.append(time.perf_counter() - t0)
+    fenced.sort()
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
+    out = None
+    for i in range(iters):
+        out = fn(*args_for(3000 + i))
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    pipelined = (time.perf_counter() - t0) / iters
+    return fenced[len(fenced) // 2], pipelined
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--all", action="store_true")
+    ap.add_argument("--analyze", action="store_true",
+                    help="XLA cost analysis: achieved vs peak FLOP/s")
     ap.add_argument("--batch", type=int, default=0)
     args = ap.parse_args()
 
@@ -71,24 +89,46 @@ def main():
 
     extras = {}
 
+    # distinct PRNG keys per call (see _bench docstring)
+    import numpy as np
+
+    keys = jax.device_put(
+        np.stack([np.array([7, i], np.uint32) for i in range(8192)])
+    )
+
     # ---- headline: config #4, Stage-III 256px full sampling ----
     sample = jax.jit(lambda s, b, r: trainer.sample(s, b, r)["images"][-1])
-    dt = _time(sample, state, batch, rng, iters=iters)
+    lat, dt = _bench(sample, lambda i: (state, batch, keys[i]), iters=iters)
     imgs_per_sec = batch_size / dt / max(n_chips, 1)
-    extras["sampling_step_ms"] = round(dt * 1e3, 3)
+    extras["sampling_pipelined_ms"] = round(dt * 1e3, 3)
+    extras["sampling_latency_ms"] = round(lat * 1e3, 3)
+
+    if args.analyze:
+        # v5e peak: ~197 TFLOP/s bf16, ~819 GB/s HBM
+        try:
+            ca = sample.lower(state, batch, rng).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = float(ca.get("flops", 0.0))
+            bytes_ = float(ca.get("bytes accessed", 0.0))
+            extras["sampling_gflops"] = round(flops / 1e9, 2)
+            extras["sampling_achieved_tflops"] = round(flops / dt / 1e12, 2)
+            extras["sampling_hbm_gbps"] = round(bytes_ / dt / 1e9, 1)
+        except Exception as e:  # cost_analysis availability varies by backend
+            extras["analyze_error"] = str(e)[:120]
 
     # ---- config #5: full adversarial train step ----
     # donated buffers (in-place state update) as in real training; state is
-    # threaded through the loop since donation invalidates the input.
+    # threaded through the loop since donation invalidates the input, and
+    # every step gets a distinct rng (relay dedup, as above).
     step = trainer.jitted_train_step(donate=True)
     t_state = jax.tree.map(jnp.copy, state)
-    for _ in range(2):  # warmup/compile
-        t_state, m = step(t_state, batch, rng)
+    for i in range(2):  # warmup/compile
+        t_state, m = step(t_state, batch, keys[100 + i])
     jax.block_until_ready(m)
     n_train = max(3, iters // 2)
     t0 = time.perf_counter()
-    for _ in range(n_train):
-        t_state, m = step(t_state, batch, rng)
+    for i in range(n_train):
+        t_state, m = step(t_state, batch, keys[200 + i])
     jax.block_until_ready(m)
     dt_train = (time.perf_counter() - t0) / n_train
     extras["train_step_ms"] = round(dt_train * 1e3, 3)
@@ -107,16 +147,18 @@ def main():
                                                      with_images=False))
         bs = btr.jitted_sample()
         one = synthetic_batch(cfg, rng, 1, with_images=False)
-        dt_box = _time(bs, bstate, one["captions"], one["cap_lens"], rng,
-                       iters=iters)
+        _, dt_box = _bench(
+            bs, lambda i: (bstate, one["captions"], one["cap_lens"], keys[i]),
+            iters=iters)
         extras["box_sample_ms"] = round(dt_box * 1e3, 3)
 
         # config #2: shape generator forward
         strn = ShapeTrainer(cfg)
         sstate = strn.init_state(rng, batch)
         ss = strn.jitted_sample()
-        dt_shape = _time(ss, sstate, batch["boxes"], batch["labels"],
-                         batch["obj_valid"], rng, iters=iters)
+        _, dt_shape = _bench(
+            ss, lambda i: (sstate, batch["boxes"], batch["labels"],
+                           batch["obj_valid"], keys[i]), iters=iters)
         extras["shape_fwd_ms"] = round(dt_shape * 1e3, 3)
         extras["shape_masks_per_sec"] = round(
             batch_size * cfg.OBJ.MAX_OBJECTS / dt_shape, 1
@@ -124,7 +166,8 @@ def main():
 
         # config #3: stage-I 64px sampling
         s64 = jax.jit(lambda s, b, r: trainer.sample(s, b, r)["images"][0])
-        dt64 = _time(s64, state, batch, rng, iters=iters)
+        _, dt64 = _bench(s64, lambda i: (state, batch, keys[i]),
+                         iters=iters)
         extras["stage1_64px_images_per_sec_per_chip"] = round(
             batch_size / dt64 / max(n_chips, 1), 2
         )

@@ -114,18 +114,26 @@ class CocoFeed:
         boxes = np.zeros((o, 4), np.float32)
         valid = np.zeros((o,), np.float32)
         masks = np.zeros((o, s, s), np.float32)
-        labels[:n] = np.asarray(rec["labels"][:n], np.int32)
-        boxes[:n] = np.asarray(rec["boxes"][:n], np.float32)
+        all_labels = np.asarray(rec["labels"], np.int32)
+        all_boxes = np.asarray(rec["boxes"], np.float32).reshape(-1, 4)
+        # canonical object order for the Stage-A GT sequence (SURVEY.md §2.1):
+        # salient-first — area descending, ties broken left-to-right. Large
+        # objects are both easier to predict first and condition the rest.
+        order = np.lexsort(
+            (all_boxes[:, 0], -(all_boxes[:, 2] * all_boxes[:, 3]))
+        )[: n]
+        labels[:n] = all_labels[order]
+        boxes[:n] = all_boxes[order]
         valid[:n] = 1.0
         if rec.get("masks") is not None:
-            m = np.asarray(rec["masks"], np.float32)[:n]
+            m = np.asarray(rec["masks"], np.float32)[order]
             masks[:n] = m if m.shape[-1] == s else np.stack(
                 [_resize_area(x[..., None], s)[..., 0] for x in m]
             )
         elif rec.get("polygons") is not None:
-            for i in range(n):
+            for i, src in enumerate(order):
                 masks[i] = polygon_to_box_mask(
-                    np.asarray(rec["polygons"][i], np.float64), boxes[i], s
+                    np.asarray(rec["polygons"][src], np.float64), boxes[i], s
                 )
         else:
             masks[:n] = 1.0  # box == shape fallback

@@ -66,48 +66,69 @@ class DNet(nn.Module):
 
     ``img_size`` in {64, 128, 256, ...}: the trunk always reduces to 4x4 with
     ``log2(size) - 2`` stride-2 convs, widening up to 8 * df_dim.
+
+    ``trunk``/``heads`` are exposed separately so the trainer can share one
+    real-image trunk between the matched and mismatched caption pairs (the
+    lineage runs the full D twice on the same real batch).
     """
 
     df_dim: int
     img_size: int
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(
+    def setup(self):
+        df = self.df_dim
+        n_down = max(2, (self.img_size - 1).bit_length() - 2)  # to 4x4
+        widths = [min(df * (2**i), df * 8) for i in range(n_down)]
+        self.down_blocks = [
+            DownBlock(w, norm=(i > 0), dtype=self.dtype)
+            for i, w in enumerate(widths)
+        ]
+        self.extra = (
+            _Block3x3(df * 8, self.dtype) if self.img_size > 64 else None
+        )
+        self.uncond_logits = nn.Conv(1, (4, 4), padding="SAME",
+                                     dtype=self.dtype)
+        self.cond_block = _Block3x3(df * 8, self.dtype)
+        self.cond_logits = nn.Conv(1, (4, 4), padding="SAME",
+                                   dtype=self.dtype)
+
+    def trunk(
         self,
         images: jnp.ndarray,  # (B, S, S, 3) in [-1, 1]
-        sent_emb: Optional[jnp.ndarray] = None,  # (B, D)
         layout: Optional[jnp.ndarray] = None,  # (B, S, S, C_l) canvas
-    ) -> Dict[str, jnp.ndarray]:
-        df = self.df_dim
+    ) -> jnp.ndarray:
         x = images.astype(self.dtype)
         if layout is not None:
             x = jnp.concatenate([x, layout.astype(self.dtype)], axis=-1)
-        n_down = max(2, (self.img_size - 1).bit_length() - 2)  # to 4x4
-        widths = [min(df * (2**i), df * 8) for i in range(n_down)]
-        x = DownBlock(widths[0], norm=False, dtype=self.dtype)(x)
-        for wch in widths[1:]:
-            x = DownBlock(wch, dtype=self.dtype)(x)
-        # extra 3x3s for the deeper scales (lineage's Block3x3_leakRelu pair)
-        if self.img_size > 64:
-            x = _Block3x3(df * 8, self.dtype)(x)
-        trunk = x  # (B, 4, 4, <=8df)
+        for blk in self.down_blocks:
+            x = blk(x)
+        if self.extra is not None:
+            x = self.extra(x)
+        return x  # (B, 4, 4, <=8df)
 
-        uncond = nn.Conv(1, (4, 4), padding="SAME", dtype=self.dtype,
-                         name="uncond_logits")(trunk)
+    def heads(
+        self,
+        trunk: jnp.ndarray,
+        sent_emb: Optional[jnp.ndarray] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        uncond = self.uncond_logits(trunk)
         out = {"uncond": uncond[..., 0].astype(jnp.float32)}
-
         if sent_emb is not None:
             b, hh, ww, _ = trunk.shape
             s = sent_emb.astype(self.dtype)[:, None, None, :]
             s = jnp.broadcast_to(s, (b, hh, ww, sent_emb.shape[-1]))
-            h = _Block3x3(df * 8, self.dtype)(
-                jnp.concatenate([trunk, s], axis=-1)
-            )
-            cond = nn.Conv(1, (4, 4), padding="SAME", dtype=self.dtype,
-                           name="cond_logits")(h)
-            out["cond"] = cond[..., 0].astype(jnp.float32)
+            h = self.cond_block(jnp.concatenate([trunk, s], axis=-1))
+            out["cond"] = self.cond_logits(h)[..., 0].astype(jnp.float32)
         return out
+
+    def __call__(
+        self,
+        images: jnp.ndarray,
+        sent_emb: Optional[jnp.ndarray] = None,
+        layout: Optional[jnp.ndarray] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        return self.heads(self.trunk(images, layout), sent_emb)
 
 
 class ObjectDNet(nn.Module):

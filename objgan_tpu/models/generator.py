@@ -238,7 +238,18 @@ class GNet(nn.Module):
         imgs.append(GetImageG(dt, name=f"img{base}")(h))
         res = base
         for i in range(1, cfg.TREE.BRANCH_NUM):
-            maps_i = rasterize.paste_masks(shapes, boxes, res, res)
+            if res == base:
+                maps_i = shape_maps  # already rasterized for the canvas
+            else:
+                # bilinear-resize the base-resolution pastes instead of
+                # re-rasterizing: the direct separable-matmul paste costs
+                # O(B*O*res^2*S) MXU flops per scale and the maps are soft
+                # attention weights where resampled edges are equivalent.
+                b_, o_ = shape_maps.shape[:2]
+                maps_i = jax.image.resize(
+                    shape_maps.reshape(b_ * o_, base, base, 1),
+                    (b_ * o_, res, res, 1), method="bilinear",
+                ).reshape(b_, o_, res, res)
             h, g_attn, o_attn = AttnStage(
                 gf, cfg.GAN.R_NUM, dt, name=f"attn_stage{i}"
             )(h, word_embs.astype(dt), word_mask, obj_query, maps_i, obj_valid)

@@ -113,7 +113,10 @@ class GanTrainer:
             batch["boxes"], batch["shapes"], batch["obj_valid"], ks[5]
         )
         d_params = tuple(
-            d.init(ks[6 + i], img, sent)
+            d.init(
+                ks[6 + i], img, sent,
+                jnp.zeros((*img.shape[:3], 1), img.dtype),  # layout canvas
+            )
             for i, (d, img) in enumerate(zip(self.d_nets, batch["images"]))
         )
         objd_params = self.obj_d.init(
@@ -158,14 +161,40 @@ class GanTrainer:
         fakes = g_out["images"]
         metrics: Dict[str, jnp.ndarray] = {}
 
+        # per-scale layout occupancy canvas: Obj-GAN's patch-level layout
+        # conditioning for the D's (paper §3.4). Rasterized once at the
+        # finest scale and average-pooled down.
+        from objgan_tpu.ops import rasterize as _rast
+
+        top = cfg.branch_sizes[-1]
+        shape_maps = _rast.paste_masks(
+            batch["shapes"], batch["boxes"], top, top
+        )
+        layouts = {}
+        canvas = _rast.layout_map(shape_maps, batch["obj_valid"])  # (B,T,T,1)
+        for size in reversed(cfg.branch_sizes):
+            if size != top:
+                f = layouts[size * 2].shape[1] // size
+                canvas = jax.lax.reduce_window(
+                    layouts[size * 2], 0.0, jax.lax.add,
+                    (1, f, f, 1), (1, f, f, 1), "VALID",
+                ) / (f * f)
+            layouts[size] = canvas
+        layouts = {k: sg(v) for k, v in layouts.items()}
+
         # ---- D terms (fakes severed) ----
         d_total = jnp.float32(0.0)
         wrong_sent = roll_sent(sent)
         for i, dnet in enumerate(self.d_nets):
             real, fake = batch["images"][i], sg(fakes[i])
-            out_real = dnet.apply(d_params[i], real, sent)
-            out_fake = dnet.apply(d_params[i], fake, sent)
-            out_wrong = dnet.apply(d_params[i], real, wrong_sent)
+            lay = layouts[cfg.branch_sizes[i]]
+            # one real trunk shared by the matched and mismatched pairs
+            real_trunk = dnet.apply(d_params[i], real, lay, method="trunk")
+            out_real = dnet.apply(d_params[i], real_trunk, sent,
+                                  method="heads")
+            out_wrong = dnet.apply(d_params[i], real_trunk, wrong_sent,
+                                   method="heads")
+            out_fake = dnet.apply(d_params[i], fake, sent, lay)
             d_i, aux = discriminator_loss(out_real, out_fake, out_wrong)
             d_total = d_total + d_i
             metrics[f"d_loss{i}"] = d_i
@@ -184,7 +213,8 @@ class GanTrainer:
         # ---- G terms (D params severed) ----
         g_total = jnp.float32(0.0)
         for i, dnet in enumerate(self.d_nets):
-            out_fake_g = dnet.apply(sg(d_params[i]), fakes[i], sent)
+            out_fake_g = dnet.apply(sg(d_params[i]), fakes[i], sent,
+                                    layouts[cfg.branch_sizes[i]])
             g_adv = generator_adv_loss(out_fake_g)
             g_total = g_total + g_adv
             metrics[f"g_adv{i}"] = g_adv
