@@ -57,6 +57,8 @@ def main():
     ap.add_argument("--analyze", action="store_true",
                     help="XLA cost analysis: achieved vs peak FLOP/s")
     ap.add_argument("--batch", type=int, default=0)
+    ap.add_argument("--up_mode", default=None,
+                    choices=["nearest", "subpixel"])
     args = ap.parse_args()
 
     from objgan_tpu.core.config import Config, tiny_test_config
@@ -73,6 +75,8 @@ def main():
         batch_size = args.batch or 16
         iters = 10
     cfg = cfg.merged({"TRAIN": {"BATCH_SIZE": batch_size}})
+    if args.up_mode:
+        cfg = cfg.merged({"GAN": {"UP_MODE": args.up_mode}})
 
     rng = jax.random.PRNGKey(0)
     trainer = GanTrainer(cfg)

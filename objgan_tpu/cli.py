@@ -25,7 +25,12 @@ from objgan_tpu.core import checkpoint as ckpt
 from objgan_tpu.core.config import Config
 from objgan_tpu.core.metrics import MetricsWriter
 from objgan_tpu.data.synthetic import synthetic_batch
-from objgan_tpu.parallel.sharding import make_mesh, replicate, shard_batch
+from objgan_tpu.parallel.sharding import (
+    make_mesh,
+    maybe_initialize_distributed,
+    replicate,
+    shard_batch,
+)
 
 
 def _out_dir(cfg: Config, stage: str) -> str:
@@ -47,6 +52,7 @@ def _feed(cfg: Config, data_iter, rng, with_images=True):
 
 def _run_loop(cfg, stage, trainer_state, step_fn, feed, writer, manager,
               max_steps, needs_rng=True, snapshot_hook=None):
+    maybe_initialize_distributed()
     mesh = make_mesh()
     state = replicate(mesh, trainer_state)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)

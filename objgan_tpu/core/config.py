@@ -86,6 +86,7 @@ class GanConfig:
     R_NUM: int = 2            # residual blocks per NEXT_STAGE
     B_ATTENTION: bool = True
     B_DCGAN: bool = False
+    UP_MODE: str = "nearest"  # "nearest" (lineage) | "subpixel" (less HBM)
 
 
 @dataclass(frozen=True)

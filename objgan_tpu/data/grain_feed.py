@@ -23,17 +23,20 @@ from objgan_tpu.data.tokenizer import Vocab
 class _RecordTransform:
     """Picklable per-record map (runs in grain worker processes)."""
 
-    def __init__(self, cfg: Config, vocab: Vocab, with_images: bool):
+    def __init__(self, cfg: Config, vocab: Vocab, with_images: bool,
+                 augment: bool = True):
         self.feed = CocoFeed.__new__(CocoFeed)
         self.feed.cfg = cfg
         self.feed.vocab = vocab
         self.feed.with_images = with_images
+        self.feed.augment = augment
         self.feed.records = []
 
     def __call__(self, item):
         record, seed = item
-        self.feed.rng = np.random.default_rng(seed)
-        return self.feed._one(record)
+        # pure w.r.t. shared state: a local rng per item (the transform
+        # object is shared across grain worker threads)
+        return self.feed._one(record, rng=np.random.default_rng(seed))
 
 
 def _collate(rows):
@@ -57,11 +60,12 @@ def grain_feed(
     with_images: bool = True,
     num_epochs: Optional[int] = None,
     worker_count: int = 0,
+    augment: bool = True,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Infinite (or ``num_epochs``-bounded) batch iterator via Grain."""
     import grain.python as gp
 
-    transform = _RecordTransform(cfg, vocab, with_images)
+    transform = _RecordTransform(cfg, vocab, with_images, augment)
     ds = (
         gp.MapDataset.source(list(records))
         .seed(seed)

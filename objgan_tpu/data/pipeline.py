@@ -90,23 +90,33 @@ def _resize_area(img: np.ndarray, size: int) -> np.ndarray:
 
 
 class CocoFeed:
-    """Infinite shuffled batch iterator over a list of records."""
+    """Infinite shuffled batch iterator over a list of records.
+
+    ``augment=True`` adds the lineage's training-time augmentation, kept
+    geometry-consistent across every modality: a random horizontal flip
+    applied jointly to the image, the boxes (x0 -> 1 - x0 - w), and the
+    per-object masks.
+    """
 
     def __init__(self, cfg: Config, records: Sequence[Dict], vocab: Vocab,
-                 seed: int = 0, with_images: bool = True):
+                 seed: int = 0, with_images: bool = True,
+                 augment: bool = True):
         self.cfg = cfg
         self.records = list(records)
         self.vocab = vocab
         self.rng = np.random.default_rng(seed)
         self.with_images = with_images
+        self.augment = augment
         if not self.records:
             raise ValueError("empty dataset")
 
-    def _one(self, rec: Dict) -> Dict[str, np.ndarray]:
+    def _one(self, rec: Dict, rng: Optional[np.random.Generator] = None
+             ) -> Dict[str, np.ndarray]:
+        rng = rng if rng is not None else self.rng
         cfg = self.cfg
         o = cfg.OBJ.MAX_OBJECTS
         s = cfg.OBJ.SHAPE_SIZE
-        cap = rec["captions"][self.rng.integers(len(rec["captions"]))]
+        cap = rec["captions"][rng.integers(len(rec["captions"]))]
         caps, lens = self.vocab.encode(cap, cfg.TEXT.WORDS_NUM)
 
         n = min(len(rec["labels"]), o)
@@ -138,6 +148,11 @@ class CocoFeed:
         else:
             masks[:n] = 1.0  # box == shape fallback
 
+        flip = bool(self.augment and rng.random() < 0.5)
+        if flip:
+            boxes[:n, 0] = 1.0 - boxes[:n, 0] - boxes[:n, 2]
+            masks[:n] = masks[:n, :, ::-1]
+
         out = {
             "captions": caps,
             "cap_lens": np.int32(lens),
@@ -151,6 +166,8 @@ class CocoFeed:
             img = np.asarray(rec["image"], np.float32)
             if img.max() > 1.5:
                 img = img / 127.5 - 1.0
+            if flip:
+                img = img[:, ::-1]
             out["images"] = [
                 _resize_area(img, sz).astype(np.float32)
                 for sz in cfg.branch_sizes

@@ -46,17 +46,34 @@ def glu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class UpBlock(nn.Module):
-    """2x nearest upsample -> 3x3 conv -> GroupNorm -> GLU."""
+    """2x upsample -> 3x3 conv -> GroupNorm -> GLU.
+
+    mode "nearest": lineage semantics (materialized nearest resize + conv).
+    mode "subpixel": ESPCN-style conv at the LOW resolution emitting 4x the
+    channels, then depth-to-space — identical MAC count but reads the input
+    once instead of a materialized 4x-larger upsample (the 256px pipeline is
+    HBM-bandwidth-bound; see BASELINE.md). Select with cfg.GAN.UP_MODE.
+    """
 
     features: int
     dtype: Any = jnp.float32
+    mode: str = "nearest"
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
-        x = nn.Conv(2 * self.features, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype)(x)
+        if self.mode == "subpixel":
+            y = nn.Conv(8 * self.features, (3, 3), padding="SAME",
+                        use_bias=False, dtype=self.dtype)(x)
+            y = y.reshape(b, h, w, 2, 2, 2 * self.features)
+            y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, 2 * h, 2 * w, 2 * self.features
+            )
+            x = y
+        else:
+            x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
+            x = nn.Conv(2 * self.features, (3, 3), padding="SAME",
+                        use_bias=False, dtype=self.dtype)(x)
         x = gn(2 * self.features, self.dtype)(x)
         return glu(x)
 
@@ -131,6 +148,7 @@ class InitStageG(nn.Module):
     gf_dim: int  # feature width at base_size output
     base_size: int = 64
     dtype: Any = jnp.float32
+    up_mode: str = "nearest"
 
     @nn.compact
     def __call__(self, z_c, layout_feats):
@@ -143,7 +161,8 @@ class InitStageG(nn.Module):
         # fuse layout features at the 4x4 seed
         x = jnp.concatenate([x, layout_feats], axis=-1)
         for i in range(n_up):
-            x = UpBlock(self.gf_dim * (2 ** (n_up - 1 - i)), self.dtype)(x)
+            x = UpBlock(self.gf_dim * (2 ** (n_up - 1 - i)), self.dtype,
+                        self.up_mode)(x)
         return x
 
 
@@ -153,6 +172,7 @@ class AttnStage(nn.Module):
     gf_dim: int
     r_num: int
     dtype: Any = jnp.float32
+    up_mode: str = "nearest"
 
     @nn.compact
     def __call__(self, h, word_embs, word_mask, obj_query, obj_maps, obj_valid):
@@ -179,7 +199,7 @@ class AttnStage(nn.Module):
         )
         for i in range(self.r_num):
             x = ResBlock(3 * c, self.dtype, name=f"res{i}")(x)
-        x = UpBlock(self.gf_dim, self.dtype)(x)
+        x = UpBlock(self.gf_dim, self.dtype, self.up_mode)(x)
         return x, grid_attn.reshape(b, hh, ww, t), obj_attn
 
 
@@ -227,7 +247,8 @@ class GNet(nn.Module):
         ).reshape(-1, base, base, labels_emb.shape[-1])
         layout4 = LayoutEncoder(gf * 8, 4, dt, name="layout_enc")(canvas)
 
-        h = InitStageG(gf, base, dt, name="init_stage")(z_c, layout4)
+        h = InitStageG(gf, base, dt, cfg.GAN.UP_MODE,
+                       name="init_stage")(z_c, layout4)
 
         # per-object query: label embedding + box geometry
         obj_query = jnp.concatenate(
@@ -251,7 +272,7 @@ class GNet(nn.Module):
                     (b_ * o_, res, res, 1), method="bilinear",
                 ).reshape(b_, o_, res, res)
             h, g_attn, o_attn = AttnStage(
-                gf, cfg.GAN.R_NUM, dt, name=f"attn_stage{i}"
+                gf, cfg.GAN.R_NUM, dt, cfg.GAN.UP_MODE, name=f"attn_stage{i}"
             )(h, word_embs.astype(dt), word_mask, obj_query, maps_i, obj_valid)
             res *= 2
             imgs.append(GetImageG(dt, name=f"img{res}")(h))

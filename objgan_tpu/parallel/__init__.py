@@ -4,6 +4,8 @@ from objgan_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
     local_batch_size,
     make_mesh,
+    maybe_initialize_distributed,
+    process_local_batch_slice,
     replicate,
     replicated,
     shard_batch,

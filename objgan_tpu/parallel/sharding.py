@@ -24,6 +24,42 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def maybe_initialize_distributed() -> bool:
+    """Multi-host bring-up (SURVEY.md §2.6): if the standard JAX cluster env
+    is present (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID,
+    or a TPU pod environment auto-detected by jax.distributed), initialize
+    the distributed runtime over DCN. Collectives still ride ICI via the
+    mesh; this only wires cross-host control. Returns True if initialized.
+
+    Idempotent and safe to call single-host (no env -> no-op).
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return True  # already initialized
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    if not addr or not nproc:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(nproc),
+        process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+    )
+    return True
+
+
+def process_local_batch_slice(global_batch: int) -> tuple[int, int]:
+    """(start, size) of this host's slice of the global batch — each host's
+    feed produces only its shard; ``jax.make_array_from_process_local_data``
+    style assembly is handled by NamedSharding placement."""
+    n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(f"batch {global_batch} not divisible by {n} hosts")
+    per = global_batch // n
+    return jax.process_index() * per, per
+
+
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     model_parallelism: int = 1,

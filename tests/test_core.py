@@ -182,3 +182,48 @@ class TestVisualize:
         p = str(tmp_path / "grid.png")
         save_png(p, grid)
         assert os.path.getsize(p) > 100
+
+
+class TestAugmentation:
+    def test_flip_consistency(self, tiny_cfg):
+        """Flip must move boxes, masks and image together."""
+        from objgan_tpu.data.pipeline import CocoFeed
+        from objgan_tpu.data.tokenizer import Vocab
+
+        rng = np.random.default_rng(3)
+        img = np.zeros((64, 64, 3), np.uint8)
+        img[:, :32] = 255  # left half white
+        rec = {
+            "captions": ["a thing"],
+            "labels": [1],
+            "boxes": [[0.1, 0.2, 0.3, 0.4]],
+            "image": img,
+        }
+        vocab = Vocab.build(["a thing"])
+        feed = CocoFeed(tiny_cfg, [rec], vocab, seed=0, augment=True)
+        saw_flip = saw_id = False
+        for row in [feed._one(rec) for _ in range(20)]:
+            x0 = float(row["boxes"][0, 0])
+            left_bright = float(row["images"][0][:, :8].mean())
+            if abs(x0 - 0.1) < 1e-6:
+                saw_id = True
+                assert left_bright > 0.9  # left half still bright
+            else:
+                # flipped: x0' = 1 - 0.1 - 0.3 = 0.6; bright side now right
+                assert abs(x0 - 0.6) < 1e-6
+                assert left_bright < -0.9
+                saw_flip = True
+        assert saw_flip and saw_id
+
+    def test_augment_off_is_stable(self, tiny_cfg):
+        from objgan_tpu.data.pipeline import CocoFeed
+        from objgan_tpu.data.tokenizer import Vocab
+
+        rec = {"captions": ["a thing"], "labels": [1],
+               "boxes": [[0.1, 0.2, 0.3, 0.4]]}
+        vocab = Vocab.build(["a thing"])
+        feed = CocoFeed(tiny_cfg, [rec], vocab, seed=0, with_images=False,
+                        augment=False)
+        rows = [feed._one(rec) for _ in range(5)]
+        for r in rows:
+            np.testing.assert_allclose(r["boxes"][0], [0.1, 0.2, 0.3, 0.4])

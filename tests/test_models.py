@@ -149,3 +149,41 @@ class TestDamsmLoss:
                                 cfg.TRAIN.SMOOTH)
         assert bool(jnp.isfinite(total))
         assert set(aux) == {"w_loss0", "w_loss1", "s_loss0", "s_loss1"}
+
+
+class TestGeneratorVariants:
+    def _run(self, cfg, batch, words, sent):
+        g = GNet(cfg)
+        b = batch["captions"].shape[0]
+        z = jax.random.normal(jax.random.PRNGKey(1), (b, cfg.GAN.Z_DIM))
+        labels_emb = jax.random.normal(
+            jax.random.PRNGKey(2), (b, cfg.OBJ.MAX_OBJECTS, cfg.OBJ.LABEL_DIM)
+        )
+        word_mask = jnp.arange(words.shape[1])[None] >= batch["cap_lens"][:, None]
+        variables = g.init(
+            {"params": jax.random.PRNGKey(3)}, z, sent, words, word_mask,
+            labels_emb, batch["boxes"], batch["shapes"], batch["obj_valid"],
+            jax.random.PRNGKey(4),
+        )
+        return g.apply(
+            variables, z, sent, words, word_mask, labels_emb, batch["boxes"],
+            batch["shapes"], batch["obj_valid"], jax.random.PRNGKey(4),
+        )
+
+    def test_subpixel_upsampling(self, tiny_cfg, batch, text_feats):
+        cfg = _fp32(tiny_cfg).merged({"GAN": {"UP_MODE": "subpixel"}})
+        words, sent = text_feats
+        out = self._run(cfg, batch, words, sent)
+        for img, s in zip(out["images"], cfg.branch_sizes):
+            assert img.shape == (batch["captions"].shape[0], s, s, 3)
+            assert bool(jnp.all(jnp.isfinite(img)))
+
+    def test_two_branch_pyramid(self, tiny_cfg, text_feats):
+        from objgan_tpu.data.synthetic import synthetic_batch
+
+        cfg = _fp32(tiny_cfg).merged({"TREE": {"BRANCH_NUM": 2}})
+        batch = synthetic_batch(cfg, jax.random.PRNGKey(21))
+        words, sent = text_feats
+        out = self._run(cfg, batch, words, sent)
+        assert len(out["images"]) == 2
+        assert out["images"][-1].shape[1] == cfg.branch_sizes[-1]
