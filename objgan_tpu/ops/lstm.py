@@ -54,32 +54,23 @@ class LSTMCell(nn.Module):
         return (z, z)
 
 
-class _MaskedLSTMCell(nn.Module):
-    """LSTM cell step with pack_padded_sequence semantics: the carry is frozen
-    on padded steps, so the final carry equals the carry at each sequence's
-    own last valid step (zero-init backward passes likewise)."""
-
-    features: int
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, carry, inp):
-        x_t, v_t = inp
-        new_carry, y = LSTMCell(self.features, dtype=self.dtype, name="cell")(
-            carry, x_t
-        )
-        v = v_t[:, None].astype(y.dtype)
-        carry = jax.tree.map(
-            lambda n, o: n * v + o * (1.0 - v), new_carry, carry
-        )
-        return carry, y * v
-
-
 class BiLSTM(nn.Module):
     """Bi-directional LSTM over padded (B, T, D) with per-sequence lengths.
 
     Returns (outputs (B, T, 2H), (h_fwd, h_bwd) final hiddens (B, H) each).
-    Matches PyTorch ``nn.LSTM(bidirectional=True)`` + pack_padded semantics.
+    Matches PyTorch ``nn.LSTM(bidirectional=True)`` + pack_padded semantics
+    (masked carry freezing — the carry doesn't move on padded steps).
+
+    TPU-optimized recurrence (sequential scans are latency-bound):
+      * every input projection is hoisted out of the scan into ONE wide
+        (B*T, D)x(D, 4H) matmul per direction (the cuDNN trick) — the scan
+        body is just the h @ W_hh matmuls + pointwise gates;
+      * both directions run in ONE fused scan: the backward stream rides as
+        a second batch half on time-reversed inputs, recurrent weights are
+        stacked (2, H, 4H) and applied with a single batched einsum.
+
+    Param layout stays PyTorch-mappable: {fwd,bwd}_w_ih (D, 4H),
+    {fwd,bwd}_w_hh (H, 4H), {fwd,bwd}_b (4H,), gate order i|f|g|o.
     """
 
     features: int  # per-direction hidden size
@@ -87,27 +78,51 @@ class BiLSTM(nn.Module):
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray, lengths: jnp.ndarray):
-        b, t = xs.shape[:2]
-        pos = jnp.arange(t)[None, :]
-        valid = (pos < lengths[:, None]).astype(xs.dtype)  # (B, T)
-        xs_t = jnp.swapaxes(xs, 0, 1)  # (T, B, D)
-        valid_t = jnp.swapaxes(valid, 0, 1)  # (T, B)
-        carry0 = LSTMCell.init_carry(b, self.features, xs.dtype)
+        b, t, d = xs.shape
+        h = self.features
+        dt = self.dtype
 
-        def scan_cell(name, reverse):
-            return nn.scan(
-                _MaskedLSTMCell,
-                variable_broadcast="params",
-                split_rngs={"params": False},
-                in_axes=0,
-                out_axes=0,
-                reverse=reverse,
-            )(self.features, dtype=self.dtype, name=name)
+        def p(name, shape, init):
+            return self.param(name, init, shape, jnp.float32).astype(dt)
 
-        (h_f, _), ys_f = scan_cell("fwd", False)(carry0, (xs_t, valid_t))
-        (h_b, _), ys_b = scan_cell("bwd", True)(carry0, (xs_t, valid_t))
-        ys = jnp.concatenate([ys_f, ys_b], axis=-1)
-        return jnp.swapaxes(ys, 0, 1), (h_f, h_b)
+        lecun = nn.initializers.lecun_normal()
+        orth = nn.initializers.orthogonal()
+        zeros = nn.initializers.zeros
+        w_ih = jnp.stack([p("fwd_w_ih", (d, 4 * h), lecun),
+                          p("bwd_w_ih", (d, 4 * h), lecun)])  # (2, D, 4H)
+        w_hh = jnp.stack([p("fwd_w_hh", (h, 4 * h), orth),
+                          p("bwd_w_hh", (h, 4 * h), orth)])  # (2, H, 4H)
+        bias = jnp.stack([p("fwd_b", (4 * h,), zeros),
+                          p("bwd_b", (4 * h,), zeros)])  # (2, 4H)
+
+        valid = (jnp.arange(t)[None, :] < lengths[:, None]).astype(dt)  # (B,T)
+        x = xs.astype(dt)
+        # all input projections in one batched matmul: (2, B, T, 4H)
+        xw = jnp.einsum("btd,kdg->kbtg", x, w_ih) + bias[:, None, None, :]
+        # fuse directions: time-major (T, 2, B, 4H), bwd half time-reversed
+        xw = jnp.stack([xw[0], xw[1, :, ::-1]], axis=0)  # (2, B, T, 4H)
+        xw_t = jnp.moveaxis(xw, 2, 0)  # (T, 2, B, 4H)
+        valid_t = jnp.stack(
+            [jnp.swapaxes(valid, 0, 1), jnp.swapaxes(valid, 0, 1)[::-1]], 1
+        )  # (T, 2, B)
+
+        def step(carry, inp):
+            hc, cc = carry  # each (2, B, H)
+            xw_s, v_s = inp  # (2, B, 4H), (2, B)
+            gates = xw_s + jnp.einsum("kbh,khg->kbg", hc, w_hh)
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            new_c = jax.nn.sigmoid(f) * cc + jax.nn.sigmoid(i) * jnp.tanh(g)
+            new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+            v = v_s[..., None]
+            hc = new_h * v + hc * (1.0 - v)
+            cc = new_c * v + cc * (1.0 - v)
+            return (hc, cc), new_h * v
+
+        carry0 = (jnp.zeros((2, b, h), dt), jnp.zeros((2, b, h), dt))
+        (h_fin, _), ys = jax.lax.scan(step, carry0, (xw_t, valid_t))
+        ys_f = jnp.swapaxes(ys[:, 0], 0, 1)  # (B, T, H)
+        ys_b = jnp.swapaxes(ys[:, 1][::-1], 0, 1)  # un-reverse time
+        return jnp.concatenate([ys_f, ys_b], -1), (h_fin[0], h_fin[1])
 
 
 class ConvLSTMCell(nn.Module):
