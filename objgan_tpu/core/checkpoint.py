@@ -43,13 +43,32 @@ def save(manager, step: int, state: Any) -> None:
 
 def restore_latest(manager, abstract_state: Any) -> Optional[Any]:
     """Restore the newest checkpoint onto the structure of
-    ``abstract_state`` (a concrete state works as the template)."""
+    ``abstract_state`` (a concrete state works as the template).
+
+    A checkpoint whose tree no longer matches the model (architecture
+    changed since it was written) is NOT restored: a loud warning is printed
+    and ``None`` returned so the caller starts fresh — matching the
+    reference's behavior of simply not passing a NET_G path.
+    """
     import orbax.checkpoint as ocp
 
     step = manager.latest_step()
     if step is None:
         return None
-    return manager.restore(step, args=ocp.args.StandardRestore(abstract_state))
+    try:
+        return manager.restore(
+            step, args=ocp.args.StandardRestore(abstract_state)
+        )
+    except Exception as e:  # noqa: BLE001 — orbax raises various types
+        print(
+            "=" * 72
+            + f"\nWARNING: checkpoint at step {step} is INCOMPATIBLE with the"
+            f"\ncurrent model structure and was NOT restored ({type(e).__name__})."
+            "\nTraining will start from fresh parameters. Delete or migrate the"
+            "\ncheckpoint directory if this is unexpected.\n" + "=" * 72,
+            flush=True,
+        )
+        return None
 
 
 def wait(manager) -> None:
