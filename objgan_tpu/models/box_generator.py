@@ -105,12 +105,11 @@ class BoxDecoder(nn.Module):
         mean_state: jnp.ndarray,
         enc_valid: jnp.ndarray,
     ):
-        """One decode step. Returns (state, label_logits, box_params, alpha).
+        """One decode step. Returns (state, label_logits, h_lang, alpha).
 
-        Box params are conditioned on the *current* step's label via the label
-        head's argmax/sample done by the caller — here we emit parameters for
-        every class-agnostic mixture; conditioning enters through the decoder
-        state (the previous object) per the captioning lineage.
+        The box distribution factorizes as p(b_t | l_t, h_t) (paper §3.1):
+        call :meth:`box_params` with the step's hidden state and the chosen
+        (GT or sampled) label to get the class-conditioned GMM parameters.
         """
         prev_emb = self.label_embed(prev_label)
         x_att = jnp.concatenate(
@@ -121,8 +120,15 @@ class BoxDecoder(nn.Module):
         x_lang = jnp.concatenate([ctx, h_att], axis=-1)
         lang_carry, h_lang = self.lang_lstm(state.lang_carry, x_lang)
         label_logits = self.label_head(h_lang).astype(jnp.float32)
-        box_params = self.box_head(h_lang).astype(jnp.float32)
-        return DecoderState(att_carry, lang_carry), label_logits, box_params, alpha
+        return DecoderState(att_carry, lang_carry), label_logits, h_lang, alpha
+
+    def box_params(self, h_lang: jnp.ndarray, label: jnp.ndarray):
+        """GMM parameters for the box, conditioned on the current label
+        (a 'giraffe' box is tall, a 'frisbee' box is small)."""
+        lab_emb = self.label_embed(label)
+        return self.box_head(
+            jnp.concatenate([h_lang, lab_emb], axis=-1)
+        ).astype(jnp.float32)
 
     def __call__(self, state, prev_label, prev_box, enc_states, mean_state,
                  enc_valid):
@@ -185,14 +191,15 @@ class BoxGenerator(nn.Module):
                 box_in = jnp.where(flip[:, None], prev_pred_box, gt_box)
             else:
                 lab_in, box_in = gt_lab, gt_box
-            new_state, logits, params, alpha = mdl.decoder.step(
+            new_state, logits, h_lang, alpha = mdl.decoder.step(
                 dec_state, lab_in, box_in, enc_states, mean_state, enc_valid
             )
             pred_lab = jnp.argmax(logits, axis=-1).astype(gt_lab.dtype)
-            pred_box = jnp.clip(gmm.mean(params, gmm_k), 0.0, 1.0).astype(
-                gt_box.dtype
-            )
-            return (new_state, pred_lab, pred_box), (logits, params, alpha)
+            pred_params = mdl.decoder.box_params(h_lang, pred_lab)
+            pred_box = jnp.clip(
+                gmm.mean(pred_params, gmm_k), 0.0, 1.0
+            ).astype(gt_box.dtype)
+            return (new_state, pred_lab, pred_box), (logits, h_lang, alpha)
 
         scan = nn.scan(
             body,
@@ -207,10 +214,13 @@ class BoxGenerator(nn.Module):
             step_rngs,
         )
         carry0 = (state, in_labels[:, 0], in_boxes[:, 0])
-        _, (logits, params, alphas) = scan(self, carry0, xs)
+        _, (logits, h_langs, alphas) = scan(self, carry0, xs)
+        h_langs = jnp.swapaxes(h_langs, 0, 1)  # (B, O+1, H)
+        # class-conditioned box params for the GT labels at each real step
+        box_params = self.decoder.box_params(h_langs[:, :o], labels)
         return {
             "label_logits": jnp.swapaxes(logits, 0, 1),  # (B, O+1, C)
-            "box_params": jnp.swapaxes(params, 0, 1),  # (B, O+1, P)
+            "box_params": box_params,  # (B, O, P) conditioned on GT labels
             "alphas": jnp.swapaxes(alphas, 0, 1),  # (B, O+1, T)
         }
 
@@ -235,11 +245,12 @@ class BoxGenerator(nn.Module):
 
         def body(mdl, carry, step_rng):
             state, prev_lab, prev_box, alive = carry
-            state, logits, params, _ = mdl.decoder.step(
+            state, logits, h_lang, _ = mdl.decoder.step(
                 state, prev_lab, prev_box, enc_states, mean_state, enc_valid
             )
             k1, k2 = jax.random.split(step_rng)
             lab = jax.random.categorical(k1, logits / jnp.maximum(temp, 1e-6))
+            params = mdl.decoder.box_params(h_lang, lab)
             box = gmm.sample(params, k2, c.OBJ.GMM_COMPONENTS, gtemp)
             box = jnp.clip(box, 0.0, 1.0)
             lab = jnp.where(alive > 0, lab, STOP).astype(jnp.int32)
@@ -317,7 +328,7 @@ class BoxGenerator(nn.Module):
         def body(mdl, carry, _):
             (state, prev_lab, prev_box, alive, scores,
              hist_lab, hist_box, hist_valid, step_i) = carry
-            state, logits, params, _ = mdl.decoder.step(
+            state, logits, h_lang, _ = mdl.decoder.step(
                 state, prev_lab, prev_box, enc_states_e, mean_state_e,
                 enc_valid_e,
             )
@@ -333,10 +344,11 @@ class BoxGenerator(nn.Module):
             # reindex every per-beam tensor to the chosen source beams
             state = jax.tree.map(lambda t: gather_beams(t, src_beam), state)
             alive = gather_beams(alive, src_beam)
-            params = gather_beams(params, src_beam)
+            h_lang = gather_beams(h_lang, src_beam)
             hist_lab = gather_beams(hist_lab, src_beam)
             hist_box = gather_beams(hist_box, src_beam)
             hist_valid = gather_beams(hist_valid, src_beam)
+            params = mdl.decoder.box_params(h_lang, new_lab)
             box = gmm.mean(params, c.OBJ.GMM_COMPONENTS)
             box = jnp.clip(box, 0.0, 1.0)
             new_lab = jnp.where(alive > 0, new_lab, STOP)
