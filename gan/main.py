@@ -58,8 +58,19 @@ def main():
         cfg = cfg.replace(DATA_DIR=args.data_dir)
 
     feed = build_feed(cfg, args)
+    max_steps = args.max_steps
+    if max_steps >= 10**9 and args.manifest:
+        # reference semantics: train for TRAIN.MAX_EPOCH epochs
+        import json
+
+        with open(args.manifest) as f:
+            n_records = len(json.load(f))
+        steps_per_epoch = max(1, n_records // cfg.TRAIN.BATCH_SIZE)
+        max_steps = cfg.TRAIN.MAX_EPOCH * steps_per_epoch
+        print(f"training {cfg.TRAIN.MAX_EPOCH} epochs x {steps_per_epoch} "
+              f"steps = {max_steps} steps")
     if cfg.TRAIN.FLAG:
-        cli.train_gan(cfg, feed, max_steps=args.max_steps)
+        cli.train_gan(cfg, feed, max_steps=max_steps)
     else:
         cli.sample_gan(cfg, feed, num_batches=args.num_batches)
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 import itertools
 import os
 import time
-from typing import Callable, Dict, Iterator, Optional
+from typing import Iterator, Optional
 
 import jax
 import numpy as np

@@ -2,7 +2,8 @@
 
 The reference prints loss scalars and dumps PNG grids. Here: a tiny
 dependency-free writer that appends one CSV row per step and mirrors to
-stdout every ``print_every`` steps; the attention-grid image dumps live in
+stdout every ``print_every`` steps (opt-in TensorBoard scalars via
+``tensorboard=True`` — importing tensorflow costs ~15s, so off by default); the attention-grid image dumps live in
 ``objgan_tpu/utils/visualize.py`` (they are the model family's main
 debugging tool and are kept).
 """
@@ -12,12 +13,12 @@ from __future__ import annotations
 import csv
 import os
 import time
-from typing import Dict, Mapping, Optional
+from typing import Mapping
 
 
 class MetricsWriter:
     def __init__(self, directory: str, name: str = "train",
-                 print_every: int = 50):
+                 print_every: int = 50, tensorboard: bool = False):
         os.makedirs(directory, exist_ok=True)
         self.path = os.path.join(directory, f"{name}_metrics.csv")
         self.print_every = print_every
@@ -25,6 +26,16 @@ class MetricsWriter:
         self._writer = None
         self._fields = None
         self._t0 = time.monotonic()
+        self._tb = None
+        if tensorboard:
+            try:  # tensorflow is optional; CSV always works
+                import tensorflow as tf
+
+                self._tb = tf.summary.create_file_writer(
+                    os.path.join(directory, "tb", name)
+                )
+            except Exception:
+                self._tb = None
 
     def write(self, step: int, metrics: Mapping[str, float]) -> None:
         row = {"step": step, "wall_s": round(time.monotonic() - self._t0, 3)}
@@ -36,6 +47,12 @@ class MetricsWriter:
             if self._file.tell() == 0:
                 self._writer.writeheader()
         self._writer.writerow({k: row.get(k, "") for k in self._fields})
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, v in metrics.items():
+                    tf.summary.scalar(k, float(v), step=step)
         if step % self.print_every == 0:
             parts = " ".join(f"{k}={float(v):.4g}" for k, v in metrics.items())
             print(f"[step {step}] {parts}", flush=True)

@@ -8,7 +8,7 @@ which feed it gets.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ masked by object validity (padding never contributes).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

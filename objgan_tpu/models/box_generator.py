@@ -14,7 +14,7 @@ matmuls MXU-wide. Class 0 is reserved as STOP/padding.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import flax.linen as nn
 import jax

@@ -19,7 +19,7 @@ Inception-v3 checkpoint converter can replace it for strict FID parity.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

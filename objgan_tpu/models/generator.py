@@ -24,7 +24,7 @@ TPU-native choices (documented divergences from the PyTorch lineage):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

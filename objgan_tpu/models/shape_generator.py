@@ -20,7 +20,7 @@ object axis, via ``lax.scan``.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, List, Tuple
 
 import flax.linen as nn
 import jax

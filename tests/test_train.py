@@ -117,3 +117,19 @@ class TestGanTrainer:
         for img, size in zip(out["images"], cfg.branch_sizes):
             assert img.shape == (batch["captions"].shape[0], size, size, 3)
             assert bool(jnp.all(jnp.isfinite(img)))
+
+
+class TestEma:
+    def test_ema_tracks_generator(self, cfg, batch):
+        """EMA params follow the lineage's copy_G_params moving average."""
+        tr = GanTrainer(cfg, ema_decay=0.5)
+        state = tr.init_state(jax.random.PRNGKey(0), batch)
+        step = tr.jitted_train_step(donate=False)
+        leaf = lambda p: np.asarray(jax.tree.leaves(p)[0])
+        e0, g0 = leaf(state.ema_g_params), leaf(state.g_params)
+        np.testing.assert_array_equal(e0, g0)  # init: identical copies
+        new_state, _ = step(state, batch, jax.random.PRNGKey(1))
+        e1 = leaf(new_state.ema_g_params)
+        g1 = leaf(new_state.g_params)
+        np.testing.assert_allclose(e1, 0.5 * e0 + 0.5 * g1, rtol=1e-5,
+                                   atol=1e-7)
