@@ -51,28 +51,57 @@ def _feed(cfg: Config, data_iter, rng, with_images=True):
 
 
 def _run_loop(cfg, stage, trainer_state, step_fn, feed, writer, manager,
-              max_steps, needs_rng=True, snapshot_hook=None):
+              max_steps, needs_rng=True, snapshot_hook=None,
+              multi_step_fn=None):
+    """Step loop. With ``multi_step_fn`` and TRAIN.STEPS_PER_EXECUTION > 1,
+    K host batches are stacked and executed as one device program (dispatch
+    latency amortization); logging/snapshot cadence rounds to K."""
     maybe_initialize_distributed()
     mesh = make_mesh()
     state = replicate(mesh, trainer_state)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    spe = max(1, cfg.TRAIN.STEPS_PER_EXECUTION)
+    use_multi = multi_step_fn is not None and spe > 1
     t_last = time.monotonic()
-    for step, batch in enumerate(feed):
+    log_every = max(50, spe)
+    step = 0
+    pending = []
+    for batch in feed:
         if step >= max_steps:
             break
-        batch = shard_batch(mesh, batch)
-        if needs_rng:
-            state, metrics = step_fn(state, batch,
-                                     jax.random.fold_in(rng, step))
+        if use_multi:
+            pending.append(batch)
+            if len(pending) < spe:
+                continue
+            stacked = jax.tree.map(lambda *xs: np.stack(xs), *pending)
+            pending = []
+            # (K, B, ...) layout: batch axis is axis 1
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(mesh, P(None, "data"))
+            stacked = jax.tree.map(
+                lambda x: jax.device_put(x, sharding), stacked
+            )
+            state, metrics = multi_step_fn(
+                state, stacked, jax.random.fold_in(rng, step)
+            )
+            step += spe
         else:
-            state, metrics = step_fn(state, batch)
-        if step % 50 == 0:
+            batch = shard_batch(mesh, batch)
+            if needs_rng:
+                state, metrics = step_fn(state, batch,
+                                         jax.random.fold_in(rng, step))
+            else:
+                state, metrics = step_fn(state, batch)
+            step += 1
+        if step <= spe or (step % log_every < spe and step >= log_every):
             metrics = {k: float(v) for k, v in metrics.items()}
             now = time.monotonic()
-            metrics["steps_per_sec"] = 50.0 / max(now - t_last, 1e-9)
+            metrics["steps_per_sec"] = log_every / max(now - t_last, 1e-9)
             t_last = now
             writer.write(step, metrics)
-        if step > 0 and step % (cfg.TRAIN.SNAPSHOT_INTERVAL * 100) == 0:
+        snap_every = cfg.TRAIN.SNAPSHOT_INTERVAL * 100
+        if step >= snap_every and step % snap_every < spe:
             ckpt.save(manager, step, state)
             if snapshot_hook is not None:
                 snapshot_hook(state, step)
@@ -111,7 +140,8 @@ def train_gan(cfg: Config, data_iter: Optional[Iterator] = None,
         save_png(os.path.join(out, f"attn_step{step}.png"), grid)
 
     _run_loop(cfg, "gan", state, trainer.jitted_train_step(),
-              feed, writer, manager, max_steps, snapshot_hook=snapshot)
+              feed, writer, manager, max_steps, snapshot_hook=snapshot,
+              multi_step_fn=trainer.jitted_multi_step())
 
 
 def sample_gan(cfg: Config, data_iter: Optional[Iterator] = None,

@@ -74,6 +74,9 @@ class TrainConfig:
     B_NET_D: bool = True
     NET_E: str = ""
     NET_G: str = ""
+    # K train steps per device execution (lax.scan): amortizes host dispatch
+    # latency; metrics/logging granularity becomes K steps.
+    STEPS_PER_EXECUTION: int = 1
     SMOOTH: SmoothConfig = field(default_factory=SmoothConfig)
 
 

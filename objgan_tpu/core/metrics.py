@@ -53,7 +53,9 @@ class MetricsWriter:
             with self._tb.as_default():
                 for k, v in metrics.items():
                     tf.summary.scalar(k, float(v), step=step)
-        if step % self.print_every == 0:
+        first = not getattr(self, "_printed_once", False)
+        if first or step % self.print_every == 0:
+            self._printed_once = True
             parts = " ".join(f"{k}={float(v):.4g}" for k, v in metrics.items())
             print(f"[step {step}] {parts}", flush=True)
             self._file.flush()

@@ -273,6 +273,29 @@ class GanTrainer:
         )
         return new_state, metrics
 
+    def multi_train_step(self, state: GanTrainState, batches, rng):
+        """K chained train steps in ONE device execution.
+
+        ``batches``: the regular batch pytree with a leading K axis (stack K
+        host batches). Host->device dispatch latency (tens of ms through a
+        remote relay) would otherwise dominate the 61ms step; scanning K
+        steps per dispatch amortizes it away. Returns the state after K
+        steps and the last step's metrics.
+        """
+
+        def body(carry, xb):
+            state, key = carry
+            key, sub = jax.random.split(key)
+            state, metrics = self.train_step(state, xb, sub)
+            return (state, key), metrics
+
+        (state, _), metrics = jax.lax.scan(body, (state, rng), batches)
+        return state, jax.tree.map(lambda m: m[-1], metrics)
+
+    def jitted_multi_step(self, donate: bool = True):
+        return jax.jit(self.multi_train_step,
+                       donate_argnums=(0,) if donate else ())
+
     # -- sampling (BASELINE configs #3/#4) ----------------------------------
 
     def sample(self, state: GanTrainState, batch, rng, use_ema: bool = True):

@@ -74,7 +74,14 @@ def compute_fid_is(
         acts, probs = extractor(jnp.asarray(b))
         fake_acts.append(np.asarray(acts))
         fake_probs.append(np.asarray(probs))
-    fid = frechet_distance(np.concatenate(real_acts),
-                           np.concatenate(fake_acts))
+    ra = np.concatenate(real_acts)
+    fa = np.concatenate(fake_acts)
+    if float(ra.std()) < 1e-6 or float(fa.std()) < 1e-6:
+        print(
+            "WARNING: degenerate (near-constant) activations — the feature "
+            "extractor is probably untrained (load converted Inception "
+            "weights for meaningful FID).", flush=True,
+        )
+    fid = frechet_distance(ra, fa)
     is_score = inception_score(np.concatenate(fake_probs))
     return fid, is_score

@@ -133,3 +133,31 @@ class TestEma:
         g1 = leaf(new_state.g_params)
         np.testing.assert_allclose(e1, 0.5 * e0 + 0.5 * g1, rtol=1e-5,
                                    atol=1e-7)
+
+
+class TestMultiStep:
+    def test_multi_step_equals_sequential(self, cfg, batch):
+        """K scanned steps must match K sequential steps exactly."""
+        tr = GanTrainer(cfg)
+        state = tr.init_state(jax.random.PRNGKey(0), batch)
+        rng = jax.random.PRNGKey(5)
+
+        # sequential with the same key schedule as the scan body
+        seq_state = state
+        key = rng
+        for _ in range(3):
+            key, sub = jax.random.split(key)
+            seq_state, seq_m = tr.train_step(seq_state, batch, sub)
+
+        stacked = jax.tree.map(
+            lambda x: jnp.stack([x, x, x]) if hasattr(x, "ndim") else x, batch
+        )
+        multi_state, multi_m = tr.jitted_multi_step(donate=False)(
+            state, stacked, rng
+        )
+        a = np.asarray(jax.tree.leaves(seq_state.g_params)[0])
+        b = np.asarray(jax.tree.leaves(multi_state.g_params)[0])
+        np.testing.assert_allclose(a, b, rtol=3e-3, atol=1e-4)
+        np.testing.assert_allclose(
+            float(seq_m["d_loss"]), float(multi_m["d_loss"]), rtol=3e-3
+        )
