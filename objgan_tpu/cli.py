@@ -196,7 +196,8 @@ def pretrain_damsm(cfg: Config, data_iter: Optional[Iterator] = None,
         state = restored
     writer = MetricsWriter(out, "damsm")
     _run_loop(cfg, "damsm", state, trainer.jitted_train_step(),
-              feed, writer, manager, max_steps)
+              feed, writer, manager, max_steps,
+              multi_step_fn=trainer.jitted_multi_step())
 
 
 def train_box(cfg: Config, data_iter: Optional[Iterator] = None,
@@ -271,4 +272,5 @@ def train_shape(cfg: Config, data_iter: Optional[Iterator] = None,
         state = restored
     writer = MetricsWriter(out, "shape")
     _run_loop(cfg, "shape", state, trainer.jitted_train_step(),
-              feed, writer, manager, max_steps)
+              feed, writer, manager, max_steps,
+              multi_step_fn=trainer.jitted_multi_step())

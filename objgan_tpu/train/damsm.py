@@ -82,5 +82,21 @@ class DamsmTrainer:
         aux["damsm_total"] = loss
         return new, aux
 
+    def multi_train_step(self, state: DamsmTrainState, batches, rng):
+        """K chained steps per device execution (dispatch amortization)."""
+
+        def body(carry, xb):
+            state, key = carry
+            key, sub = jax.random.split(key)
+            state, metrics = self.train_step(state, xb, sub)
+            return (state, key), metrics
+
+        (state, _), metrics = jax.lax.scan(body, (state, rng), batches)
+        return state, jax.tree.map(lambda m: m[-1], metrics)
+
+    def jitted_multi_step(self, donate: bool = True):
+        return jax.jit(self.multi_train_step,
+                       donate_argnums=(0,) if donate else ())
+
     def jitted_train_step(self):
         return jax.jit(self.train_step, donate_argnums=(0,))
