@@ -24,12 +24,13 @@ class _RecordTransform:
     """Picklable per-record map (runs in grain worker processes)."""
 
     def __init__(self, cfg: Config, vocab: Vocab, with_images: bool,
-                 augment: bool = True):
+                 augment: bool = True, image_root=None):
         self.feed = CocoFeed.__new__(CocoFeed)
         self.feed.cfg = cfg
         self.feed.vocab = vocab
         self.feed.with_images = with_images
         self.feed.augment = augment
+        self.feed.image_root = image_root or cfg.DATA_DIR
         self.feed.records = []
 
     def __call__(self, item):

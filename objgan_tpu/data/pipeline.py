@@ -100,15 +100,29 @@ class CocoFeed:
 
     def __init__(self, cfg: Config, records: Sequence[Dict], vocab: Vocab,
                  seed: int = 0, with_images: bool = True,
-                 augment: bool = True):
+                 augment: bool = True, image_root: Optional[str] = None):
         self.cfg = cfg
         self.records = list(records)
         self.vocab = vocab
         self.rng = np.random.default_rng(seed)
         self.with_images = with_images
         self.augment = augment
+        self.image_root = image_root or cfg.DATA_DIR
         if not self.records:
             raise ValueError("empty dataset")
+
+    def _load_image(self, rec: Dict) -> Optional[np.ndarray]:
+        """Inline array, or lazy-load ``image_file`` (converted COCO
+        manifests keep photos on disk) via PIL."""
+        if rec.get("image") is not None:
+            return np.asarray(rec["image"], np.float32)
+        if rec.get("image_file"):
+            from PIL import Image
+
+            path = os.path.join(self.image_root, rec["image_file"])
+            with Image.open(path) as im:
+                return np.asarray(im.convert("RGB"), np.float32)
+        return None
 
     def _one(self, rec: Dict, rng: Optional[np.random.Generator] = None
              ) -> Dict[str, np.ndarray]:
@@ -162,8 +176,8 @@ class CocoFeed:
             "shapes": masks,
             "obj_valid": valid,
         }
-        if self.with_images and rec.get("image") is not None:
-            img = np.asarray(rec["image"], np.float32)
+        img = self._load_image(rec) if self.with_images else None
+        if img is not None:
             if img.max() > 1.5:
                 img = img / 127.5 - 1.0
             if flip:
