@@ -179,6 +179,15 @@ def sample_gan(cfg: Config, data_iter: Optional[Iterator] = None,
     return out
 
 
+def _finest_scale_only(feed):
+    """DAMSM consumes only the finest image scale; don't ship the rest."""
+    for b in feed:
+        if "images" in b:
+            b = dict(b)
+            b["images"] = [b["images"][-1]]
+        yield b
+
+
 def pretrain_damsm(cfg: Config, data_iter: Optional[Iterator] = None,
                    max_steps: int = 10**9) -> None:
     from objgan_tpu.train.damsm import DamsmTrainer
@@ -186,7 +195,7 @@ def pretrain_damsm(cfg: Config, data_iter: Optional[Iterator] = None,
     out = _out_dir(cfg, "damsm")
     trainer = DamsmTrainer(cfg)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
-    feed = _feed(cfg, data_iter, rng)
+    feed = _finest_scale_only(_feed(cfg, data_iter, rng))
     first = next(feed)
     feed = itertools.chain([first], feed)
     state = trainer.init_state(rng, first)
@@ -216,8 +225,11 @@ def train_box(cfg: Config, data_iter: Optional[Iterator] = None,
     if restored is not None:
         state = restored
     writer = MetricsWriter(out, "box")
+    # needs_rng: scheduled sampling (BOX.SCHEDULED_SAMPLING_PROB) requires a
+    # per-step key threaded into the teacher-forced pass
     _run_loop(cfg, "box", state, trainer.jitted_train_step(),
-              feed, writer, manager, max_steps, needs_rng=False)
+              feed, writer, manager, max_steps,
+              multi_step_fn=trainer.jitted_multi_step())
 
 
 def sample_box(cfg: Config, captions, cap_lens, out_path: Optional[str] = None,

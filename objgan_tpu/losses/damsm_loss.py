@@ -105,7 +105,8 @@ def sent_loss(
     s = sent_embs.astype(jnp.float32)
     g = g / _safe_norm(g, -1, keepdims=True)
     s = s / _safe_norm(s, -1, keepdims=True)
-    scores = gamma3 * (s @ g.T)  # (B_text, B_img)
+    scores = gamma3 * jnp.einsum("td,gd->tg", s, g,
+                             precision=jax.lax.Precision.HIGHEST)
     mask = _class_mask(class_ids, scores.shape[0])
     return _symmetric_ce(scores, mask)
 

@@ -289,7 +289,9 @@ class GNet(nn.Module):
 
 
 def kl_loss(mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
-    """CA-net KL(N(mu, sigma) || N(0, I)), the lineage's KL_loss."""
-    return -0.5 * jnp.mean(
-        jnp.sum(1 + logvar - mu**2 - jnp.exp(logvar), axis=-1)
-    )
+    """CA-net KL(N(mu, sigma) || N(0, I)), the lineage's ``KL_loss``.
+
+    Mean over ALL elements (not sum-over-dim then batch-mean): the lineage's
+    ``torch.mean(KLD_element)`` — summing over CONDITION_DIM first would
+    weight the KL term ~100x stronger than the reference."""
+    return -0.5 * jnp.mean(1 + logvar - mu**2 - jnp.exp(logvar))

@@ -27,6 +27,13 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+# True fp32 contractions: on TPU the default einsum precision uses bf16 MXU
+# passes (~1e-2 relative error) even for fp32 inputs, which would break the
+# "bitwise-comparable fp32 attention maps" invariant. Same fix as
+# ops/roi_align.py.
+_HI = lax.Precision.HIGHEST
 
 _NEG_INF = -1e9  # matches the lineage's masked_fill_(-inf) without nan risk
 
@@ -52,10 +59,10 @@ def grid_attention(
     """
     q = query.astype(jnp.float32)
     s = source.astype(jnp.float32)
-    scores = jnp.einsum("blc,btc->blt", q, s)  # (B, L, T)
+    scores = jnp.einsum("blc,btc->blt", q, s, precision=_HI)  # (B, L, T)
     m = word_mask[:, None, :] if word_mask is not None else None
     attn = masked_softmax(scores, m, axis=-1)
-    context = jnp.einsum("blt,btc->blc", attn, s)
+    context = jnp.einsum("blt,btc->blc", attn, s, precision=_HI)
     return context.astype(query.dtype), attn
 
 
@@ -77,13 +84,13 @@ def damsm_attention(
     c = context.astype(jnp.float32)
     # (B, L, T): region-word affinities; softmax over words (the lineage's
     # first softmax, over queryL).
-    scores = jnp.einsum("blc,btc->blt", c, q)
+    scores = jnp.einsum("blc,btc->blt", c, q, precision=_HI)
     if query_valid is not None:
         scores = jnp.where(query_valid[:, None, :] > 0, scores, _NEG_INF)
     attn = jax.nn.softmax(scores, axis=-1)
     # transpose to (B, T, L), scale, softmax over regions.
     attn = jax.nn.softmax(gamma1 * jnp.swapaxes(attn, 1, 2), axis=-1)
-    weighted = jnp.einsum("btl,blc->btc", attn, c)
+    weighted = jnp.einsum("btl,blc->btc", attn, c, precision=_HI)
     return weighted, attn
 
 
@@ -102,11 +109,11 @@ def object_attention(
     """
     q = obj_query.astype(jnp.float32)
     w = words.astype(jnp.float32)
-    scores = jnp.einsum("boc,btc->bot", q, w)
+    scores = jnp.einsum("boc,btc->bot", q, w, precision=_HI)
     m = word_mask[:, None, :] if word_mask is not None else None
     attn = masked_softmax(scores, m, axis=-1)
     attn = attn * obj_valid.astype(jnp.float32)[..., None]
-    context = jnp.einsum("bot,btc->boc", attn, w)
+    context = jnp.einsum("bot,btc->boc", attn, w, precision=_HI)
     return context.astype(words.dtype), attn
 
 
@@ -123,7 +130,8 @@ def paste_object_context(
     Pure batched matmul (B,L,O)x(B,O,C) — MXU-shaped. Returns (B, L, C).
     """
     maps = obj_maps.astype(jnp.float32) * obj_valid.astype(jnp.float32)[..., None]
-    ctx = jnp.einsum("bol,boc->blc", maps, obj_context.astype(jnp.float32))
+    ctx = jnp.einsum("bol,boc->blc", maps, obj_context.astype(jnp.float32),
+                     precision=_HI)
     if normalize:
         denom = jnp.maximum(jnp.sum(maps, axis=1), 1.0)  # (B, L)
         ctx = ctx / denom[..., None]

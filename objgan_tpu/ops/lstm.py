@@ -38,9 +38,10 @@ class LSTMCell(nn.Module):
             "w_hh", nn.initializers.orthogonal(), (d, 4 * d), jnp.float32
         )
         b = self.param("b", nn.initializers.zeros, (4 * d,), jnp.float32)
+        hi = jax.lax.Precision.HIGHEST  # true-dtype matmuls (PyTorch parity)
         gates = (
-            jnp.dot(x, w_ih.astype(self.dtype))
-            + jnp.dot(h, w_hh.astype(self.dtype))
+            jnp.dot(x, w_ih.astype(self.dtype), precision=hi)
+            + jnp.dot(h, w_hh.astype(self.dtype), precision=hi)
             + b.astype(self.dtype)
         )
         i, f, g, o = jnp.split(gates, 4, axis=-1)
@@ -98,7 +99,9 @@ class BiLSTM(nn.Module):
         valid = (jnp.arange(t)[None, :] < lengths[:, None]).astype(dt)  # (B,T)
         x = xs.astype(dt)
         # all input projections in one batched matmul: (2, B, T, 4H)
-        xw = jnp.einsum("btd,kdg->kbtg", x, w_ih) + bias[:, None, None, :]
+        hi = jax.lax.Precision.HIGHEST
+        xw = jnp.einsum("btd,kdg->kbtg", x, w_ih,
+                        precision=hi) + bias[:, None, None, :]
         # fuse directions: time-major (T, 2, B, 4H), bwd half time-reversed
         xw = jnp.stack([xw[0], xw[1, :, ::-1]], axis=0)  # (2, B, T, 4H)
         xw_t = jnp.moveaxis(xw, 2, 0)  # (T, 2, B, 4H)
@@ -109,7 +112,8 @@ class BiLSTM(nn.Module):
         def step(carry, inp):
             hc, cc = carry  # each (2, B, H)
             xw_s, v_s = inp  # (2, B, 4H), (2, B)
-            gates = xw_s + jnp.einsum("kbh,khg->kbg", hc, w_hh)
+            gates = xw_s + jnp.einsum("kbh,khg->kbg", hc, w_hh,
+                                      precision=hi)
             i, f, g, o = jnp.split(gates, 4, axis=-1)
             new_c = jax.nn.sigmoid(f) * cc + jax.nn.sigmoid(i) * jnp.tanh(g)
             new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)

@@ -79,8 +79,10 @@ def paste_masks(
     r_y = _interp_matrix(height, s, y0, h)  # (B, O, H, S)
     r_x = _interp_matrix(width, s, x0, w)  # (B, O, W, S)
     m = masks.astype(jnp.float32)
-    tmp = jnp.einsum("bohs,bosp->bohp", r_y, m)  # rows resampled
-    out = jnp.einsum("bohp,bowp->bohw", tmp, r_x)  # cols resampled
+    tmp = jnp.einsum("bohs,bosp->bohp", r_y, m,
+                     precision=lax.Precision.HIGHEST)  # rows resampled
+    out = jnp.einsum("bohp,bowp->bohw", tmp, r_x,
+                     precision=lax.Precision.HIGHEST)  # cols resampled
     return out.astype(masks.dtype)
 
 

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import optax
 
 from objgan_tpu.core.config import Config
+from objgan_tpu.train.common import make_multi_step
 from objgan_tpu.models.box_generator import BoxGenerator, box_loss
 
 
@@ -76,6 +77,14 @@ class BoxTrainer:
             beam_size=self.cfg.BOX.BEAM_SIZE,
             method=BoxGenerator.beam_sample,
         )
+
+    def multi_train_step(self, state: BoxTrainState, batches, rng):
+        """K chained steps per device execution (dispatch amortization)."""
+        return make_multi_step(self.train_step)(state, batches, rng)
+
+    def jitted_multi_step(self, donate: bool = True):
+        return jax.jit(self.multi_train_step,
+                       donate_argnums=(0,) if donate else ())
 
     def jitted_train_step(self):
         return jax.jit(self.train_step, donate_argnums=(0,))

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import optax
 
 from objgan_tpu.core.config import Config
+from objgan_tpu.train.common import make_multi_step
 from objgan_tpu.losses.damsm_loss import damsm_loss
 from objgan_tpu.models.damsm import build_image_encoder, build_text_encoder
 
@@ -84,15 +85,7 @@ class DamsmTrainer:
 
     def multi_train_step(self, state: DamsmTrainState, batches, rng):
         """K chained steps per device execution (dispatch amortization)."""
-
-        def body(carry, xb):
-            state, key = carry
-            key, sub = jax.random.split(key)
-            state, metrics = self.train_step(state, xb, sub)
-            return (state, key), metrics
-
-        (state, _), metrics = jax.lax.scan(body, (state, rng), batches)
-        return state, jax.tree.map(lambda m: m[-1], metrics)
+        return make_multi_step(self.train_step)(state, batches, rng)
 
     def jitted_multi_step(self, donate: bool = True):
         return jax.jit(self.multi_train_step,

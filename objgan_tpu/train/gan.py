@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import optax
 
 from objgan_tpu.core.config import Config
+from objgan_tpu.train.common import make_multi_step
 from objgan_tpu.losses.damsm_loss import sent_loss, words_loss
 from objgan_tpu.losses.gan_loss import (
     discriminator_loss,
@@ -274,23 +275,9 @@ class GanTrainer:
         return new_state, metrics
 
     def multi_train_step(self, state: GanTrainState, batches, rng):
-        """K chained train steps in ONE device execution.
-
-        ``batches``: the regular batch pytree with a leading K axis (stack K
-        host batches). Host->device dispatch latency (tens of ms through a
-        remote relay) would otherwise dominate the 61ms step; scanning K
-        steps per dispatch amortizes it away. Returns the state after K
-        steps and the last step's metrics.
-        """
-
-        def body(carry, xb):
-            state, key = carry
-            key, sub = jax.random.split(key)
-            state, metrics = self.train_step(state, xb, sub)
-            return (state, key), metrics
-
-        (state, _), metrics = jax.lax.scan(body, (state, rng), batches)
-        return state, jax.tree.map(lambda m: m[-1], metrics)
+        """K chained train steps in ONE device execution (host->device
+        dispatch amortization; see train/common.py:make_multi_step)."""
+        return make_multi_step(self.train_step)(state, batches, rng)
 
     def jitted_multi_step(self, donate: bool = True):
         return jax.jit(self.multi_train_step,

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import optax
 
 from objgan_tpu.core.config import Config
+from objgan_tpu.train.common import make_multi_step
 from objgan_tpu.losses.gan_loss import shape_d_loss, shape_g_loss
 from objgan_tpu.models.shape_generator import ShapeDiscriminator, ShapeGenerator
 
@@ -102,15 +103,7 @@ class ShapeTrainer:
 
     def multi_train_step(self, state: ShapeTrainState, batches, rng):
         """K chained steps per device execution (dispatch amortization)."""
-
-        def body(carry, xb):
-            state, key = carry
-            key, sub = jax.random.split(key)
-            state, metrics = self.train_step(state, xb, sub)
-            return (state, key), metrics
-
-        (state, _), metrics = jax.lax.scan(body, (state, rng), batches)
-        return state, jax.tree.map(lambda m: m[-1], metrics)
+        return make_multi_step(self.train_step)(state, batches, rng)
 
     def jitted_multi_step(self, donate: bool = True):
         return jax.jit(self.multi_train_step,
