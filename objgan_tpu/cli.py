@@ -55,7 +55,12 @@ def _run_loop(cfg, stage, trainer_state, step_fn, feed, writer, manager,
               multi_step_fn=None):
     """Step loop. With ``multi_step_fn`` and TRAIN.STEPS_PER_EXECUTION > 1,
     K host batches are stacked and executed as one device program (dispatch
-    latency amortization); logging/snapshot cadence rounds to K."""
+    latency amortization); logging/snapshot cadence rounds to K.
+
+    The step counter continues from the (restored) train state's own step —
+    resume neither re-saves existing Orbax steps nor replays the rng/data
+    stream from zero — and every save is guarded against step collisions.
+    """
     maybe_initialize_distributed()
     mesh = make_mesh()
     state = replicate(mesh, trainer_state)
@@ -64,8 +69,21 @@ def _run_loop(cfg, stage, trainer_state, step_fn, feed, writer, manager,
     use_multi = multi_step_fn is not None and spe > 1
     t_last = time.monotonic()
     log_every = max(50, spe)
-    step = 0
+    step = int(jax.device_get(trainer_state.step))  # resume-aware
+    last_logged = step
+    logged_any = False
     pending = []
+
+    def save(at_step):
+        if manager.latest_step() != at_step:  # collision guard
+            ckpt.save(manager, at_step, state)
+
+    def run_single(batch, at_step):
+        batch = shard_batch(mesh, batch)
+        if needs_rng:
+            return step_fn(state, batch, jax.random.fold_in(rng, at_step))
+        return step_fn(state, batch)
+
     for batch in feed:
         if step >= max_steps:
             break
@@ -87,25 +105,28 @@ def _run_loop(cfg, stage, trainer_state, step_fn, feed, writer, manager,
             )
             step += spe
         else:
-            batch = shard_batch(mesh, batch)
-            if needs_rng:
-                state, metrics = step_fn(state, batch,
-                                         jax.random.fold_in(rng, step))
-            else:
-                state, metrics = step_fn(state, batch)
+            state, metrics = run_single(batch, step)
             step += 1
-        if step <= spe or (step % log_every < spe and step >= log_every):
+        if step - last_logged >= log_every or not logged_any:
             metrics = {k: float(v) for k, v in metrics.items()}
             now = time.monotonic()
-            metrics["steps_per_sec"] = log_every / max(now - t_last, 1e-9)
+            metrics["steps_per_sec"] = (step - last_logged) / max(
+                now - t_last, 1e-9
+            )
             t_last = now
+            last_logged = step
+            logged_any = True
             writer.write(step, metrics)
         snap_every = cfg.TRAIN.SNAPSHOT_INTERVAL * 100
         if step >= snap_every and step % snap_every < spe:
-            ckpt.save(manager, step, state)
+            save(step)
             if snapshot_hook is not None:
                 snapshot_hook(state, step)
-    ckpt.save(manager, max_steps, state)
+    # flush a partial multi-step stack so bounded feeds train on their tail
+    for b in pending:
+        state, _ = run_single(b, step)
+        step += 1
+    save(step)
     ckpt.wait(manager)
     return state
 

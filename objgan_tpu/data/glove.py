@@ -44,7 +44,12 @@ def load_glove_file(path: str, dim: int) -> Dict[str, np.ndarray]:
 
 
 def _random_vector(word: str, dim: int) -> np.ndarray:
-    rng = np.random.default_rng(abs(hash(("glove", word))) % (2**32))
+    # zlib.crc32, not hash(): str hashing is salted per process, which would
+    # regenerate DIFFERENT fallback vectors at inference than at training
+    import zlib
+
+    seed = zlib.crc32(("glove:" + word).encode("utf-8"))
+    rng = np.random.default_rng(seed)
     return rng.normal(0.0, 0.3, dim).astype(np.float32)
 
 

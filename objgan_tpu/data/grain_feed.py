@@ -34,10 +34,11 @@ class _RecordTransform:
         self.feed.records = []
 
     def __call__(self, item):
-        record, seed = item
+        record, seed, rec_id = item
         # pure w.r.t. shared state: a local rng per item (the transform
         # object is shared across grain worker threads)
-        return self.feed._one(record, rng=np.random.default_rng(seed))
+        return self.feed._one(record, rng=np.random.default_rng(seed),
+                              rec_id=rec_id)
 
 
 def _collate(rows):
@@ -71,7 +72,9 @@ def grain_feed(
         gp.MapDataset.source(list(records))
         .seed(seed)
         .shuffle()
-        .map_with_index(lambda i, rec: transform((rec, seed * 100003 + i)))
+        .map_with_index(
+            lambda i, rec: transform((rec, seed * 100003 + i, i))
+        )
     )
     if num_epochs is None:
         ds = ds.repeat(None)

@@ -110,6 +110,12 @@ class CocoFeed:
         self.image_root = image_root or cfg.DATA_DIR
         if not self.records:
             raise ValueError("empty dataset")
+        if len(vocab) > cfg.TEXT.VOCAB_SIZE:
+            raise ValueError(
+                f"vocabulary has {len(vocab)} words but cfg.TEXT.VOCAB_SIZE "
+                f"is {cfg.TEXT.VOCAB_SIZE}; raise it (nn.Embed would silently "
+                "clamp out-of-range token ids)"
+            )
 
     def _load_image(self, rec: Dict) -> Optional[np.ndarray]:
         """Inline array, or lazy-load ``image_file`` (converted COCO
@@ -124,8 +130,15 @@ class CocoFeed:
                 return np.asarray(im.convert("RGB"), np.float32)
         return None
 
-    def _one(self, rec: Dict, rng: Optional[np.random.Generator] = None
-             ) -> Dict[str, np.ndarray]:
+    @staticmethod
+    def _image_was_int(rec: Dict) -> bool:
+        """Integer-typed pixels (incl. decoded files) get /127.5-1."""
+        if rec.get("image") is not None:
+            return np.issubdtype(np.asarray(rec["image"]).dtype, np.integer)
+        return bool(rec.get("image_file"))  # PIL decode = uint8
+
+    def _one(self, rec: Dict, rng: Optional[np.random.Generator] = None,
+             rec_id: int = 0) -> Dict[str, np.ndarray]:
         rng = rng if rng is not None else self.rng
         cfg = self.cfg
         o = cfg.OBJ.MAX_OBJECTS
@@ -170,16 +183,21 @@ class CocoFeed:
         out = {
             "captions": caps,
             "cap_lens": np.int32(lens),
-            "class_ids": labels[0],
+            # unique per-image id (the lineage's COCO behavior): DAMSM's
+            # class mask must only exclude true duplicates, not every pair
+            # sharing a leading object class
+            "class_ids": np.int32(rec_id),
             "labels": labels,
             "boxes": boxes,
             "shapes": masks,
             "obj_valid": valid,
         }
-        img = self._load_image(rec) if self.with_images else None
+        img, was_int = (self._load_image(rec), self._image_was_int(rec)) \
+            if self.with_images else (None, False)
         if img is not None:
-            if img.max() > 1.5:
-                img = img / 127.5 - 1.0
+            if was_int:
+                img = img / 127.5 - 1.0  # uint8 -> [-1, 1]
+            # float inputs are REQUIRED to already be in [-1, 1]
             if flip:
                 img = img[:, ::-1]
             out["images"] = [
@@ -193,7 +211,7 @@ class CocoFeed:
         b = cfg.TRAIN.BATCH_SIZE
         while True:
             idx = self.rng.choice(len(self.records), size=b, replace=True)
-            rows = [self._one(self.records[i]) for i in idx]
+            rows = [self._one(self.records[i], rec_id=int(i)) for i in idx]
             batch: Dict = {}
             for k in rows[0]:
                 if k == "images":

@@ -49,7 +49,7 @@ def synthetic_batch(cfg: Config, rng: jax.Array, batch: int | None = None,
     out = {
         "captions": captions,
         "cap_lens": cap_lens,
-        "class_ids": labels[:, 0],
+        "class_ids": jnp.arange(b, dtype=jnp.int32),  # unique per image
         "labels": labels,
         "boxes": boxes,
         "shapes": shapes,

@@ -194,11 +194,14 @@ class BoxGenerator(nn.Module):
             new_state, logits, h_lang, alpha = mdl.decoder.step(
                 dec_state, lab_in, box_in, enc_states, mean_state, enc_valid
             )
-            pred_lab = jnp.argmax(logits, axis=-1).astype(gt_lab.dtype)
-            pred_params = mdl.decoder.box_params(h_lang, pred_lab)
-            pred_box = jnp.clip(
-                gmm.mean(pred_params, gmm_k), 0.0, 1.0
-            ).astype(gt_box.dtype)
+            if use_ss:  # static: skipped entirely in plain teacher forcing
+                pred_lab = jnp.argmax(logits, axis=-1).astype(gt_lab.dtype)
+                pred_params = mdl.decoder.box_params(h_lang, pred_lab)
+                pred_box = jnp.clip(
+                    gmm.mean(pred_params, gmm_k), 0.0, 1.0
+                ).astype(gt_box.dtype)
+            else:
+                pred_lab, pred_box = prev_pred_lab, prev_pred_box
             return (new_state, pred_lab, pred_box), (logits, h_lang, alpha)
 
         scan = nn.scan(

@@ -50,6 +50,20 @@ from objgan_tpu.models.discriminator import ObjectDNet, build_discriminators
 from objgan_tpu.models.generator import GNet, kl_loss
 
 
+def _default_label_table(cfg: Config, rng) -> jnp.ndarray:
+    """Frozen label-embedding table. For the COCO class inventory this is
+    the GloVe class-name table (paper: object labels are GloVe embeddings;
+    random fallback vectors stand in per-word when no glove file is on
+    disk — data/glove.py). Non-COCO class counts get a random table."""
+    if cfg.OBJ.NUM_CLASSES == 81:
+        from objgan_tpu.data.glove import coco_label_table
+
+        return jnp.asarray(coco_label_table(cfg.OBJ.LABEL_DIM))
+    return jax.random.normal(
+        rng, (cfg.OBJ.NUM_CLASSES, cfg.OBJ.LABEL_DIM)
+    ) * 0.02
+
+
 class GanTrainState(flax.struct.PyTreeNode):
     step: jnp.ndarray
     g_params: Any
@@ -95,12 +109,7 @@ class GanTrainer:
         if img_params is None:
             img_params = self.img_enc.init(ks[1], batch["images"][-1])
         if label_table is None:
-            label_table = (
-                jax.random.normal(
-                    ks[2], (cfg.OBJ.NUM_CLASSES, cfg.OBJ.LABEL_DIM)
-                )
-                * 0.02
-            )
+            label_table = _default_label_table(cfg, ks[2])
 
         words, sent = self.text_enc.apply(
             text_params, batch["captions"], batch["cap_lens"]

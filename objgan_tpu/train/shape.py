@@ -42,11 +42,9 @@ class ShapeTrainer:
         cfg = self.cfg
         k1, k2, k3, k4 = jax.random.split(rng, 4)
         if label_table is None:
-            label_table = (
-                jax.random.normal(
-                    k3, (cfg.OBJ.NUM_CLASSES, cfg.OBJ.LABEL_DIM)
-                ) * 0.02
-            )
+            from objgan_tpu.train.gan import _default_label_table
+
+            label_table = _default_label_table(cfg, k3)
         labels_emb = label_table[batch["labels"]]
         g_params = self.g.init(k1, batch["boxes"], labels_emb,
                                batch["obj_valid"], k4)
