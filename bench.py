@@ -168,6 +168,34 @@ def main():
     )
     del t_state
 
+    # sustained training: K chained steps per device execution — the real
+    # training configuration (TRAIN.STEPS_PER_EXECUTION=8, see BASELINE.md),
+    # which amortizes host/relay dispatch out of the per-step time.
+    k_exec = 2 if args.quick else 8
+    multi = trainer.jitted_multi_step(donate=True)
+    with jax.default_device(cpu):
+        stacked = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[synthetic_batch(cfg, jax.random.fold_in(rng, 10 + i),
+                              batch_size) for i in range(k_exec)],
+        )
+    stacked = jax.device_put(stacked, dev)
+    m_state = jax.tree.map(jnp.copy, state)
+    for i in range(2):  # warmup/compile
+        m_state, mm = multi(m_state, stacked, keys[300 + i])
+    jax.block_until_ready(mm)
+    n_multi = max(2, iters // 3)
+    t0 = time.perf_counter()
+    for i in range(n_multi):
+        m_state, mm = multi(m_state, stacked, keys[400 + i])
+    jax.block_until_ready(mm)
+    dt_sust = (time.perf_counter() - t0) / (n_multi * k_exec)
+    extras["train_sustained_ms"] = round(dt_sust * 1e3, 3)
+    extras["train_sustained_images_per_sec_per_chip"] = round(
+        batch_size / dt_sust / max(n_chips, 1), 3
+    )
+    del m_state, stacked
+
     if args.all:
         from objgan_tpu.train.box import BoxTrainer
         from objgan_tpu.train.shape import ShapeTrainer

@@ -23,6 +23,11 @@ def parse_opts(argv=None):
                    help="(sample.py) caption text; repeatable")
     p.add_argument("--output", default=None,
                    help="(sample.py) layout JSON output path")
+    p.add_argument("--eval", action="store_true",
+                   help="(sample.py) held-out NLL + layout statistics "
+                        "instead of free sampling")
+    p.add_argument("--num_batches", type=int, default=10,
+                   help="(sample.py --eval) held-out batches to evaluate")
     return p.parse_args(argv)
 
 

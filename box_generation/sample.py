@@ -17,6 +17,18 @@ def main():
 
     args = parse_opts()
     cfg = to_config(args)
+    if args.eval:
+        # eval path = TRAIN.FLAG False, so B_VALIDATION serves the held-out
+        # split (gan/main.py:build_feed)
+        cfg = cfg.merged({"TRAIN": {"FLAG": False}})
+        feed = None
+        if args.manifest:
+            from gan.main import build_feed
+
+            feed, _, _ = build_feed(cfg, args)
+        cli.eval_box(cfg, feed, num_batches=args.num_batches,
+                     use_beam=cfg.BOX.BEAM_SIZE > 1)
+        return
     captions = args.caption or ["a person riding a horse on a beach"]
     vocab = (
         Vocab.from_reference_pickle(args.captions_pickle)

@@ -13,12 +13,13 @@ def main():
 
     args = parse_opts()
     cfg = to_config(args)
-    feed = None
+    feed, n_records = None, 0
     if args.manifest:
         from gan.main import build_feed
 
-        feed = build_feed(cfg, args)
-    cli.train_box(cfg, feed, max_steps=args.max_steps)
+        feed, n_records, _ = build_feed(cfg, args)
+    cfg, max_steps = cli.apply_epoch_schedule(cfg, n_records, args.max_steps)
+    cli.train_box(cfg, feed, max_steps=max_steps)
 
 
 if __name__ == "__main__":

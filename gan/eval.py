@@ -46,7 +46,7 @@ def main():
     cfg = cfg_from_file(args.cfg_file) if args.cfg_file else Config()
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
     trainer = GanTrainer(cfg)
-    feed = build_feed(cfg, args)
+    feed, _, _ = build_feed(cfg, args)
 
     def batches():
         if feed is not None:
@@ -59,13 +59,21 @@ def main():
 
     it = batches()
     first = next(it)
-    state = trainer.init_state(rng, first)
+    from objgan_tpu.cli import load_damsm_encoders
+
+    text_params, img_params = load_damsm_encoders(cfg, rng, first)
+    state = trainer.init_state(rng, first, text_params=text_params,
+                               img_params=img_params)
     manager = ckpt.make_manager(
-        os.path.join(cfg.OUTPUT_DIR, f"{cfg.CONFIG_NAME}_gan", "ckpt"))
+        cfg.TRAIN.NET_G
+        or os.path.join(cfg.OUTPUT_DIR, f"{cfg.CONFIG_NAME}_gan", "ckpt"))
     restored = ckpt.restore_latest(manager, state)
     if restored is not None:
         state = restored
         print(f"evaluating checkpoint at step {int(state.step)}")
+    # R-precision is only meaningful with trained DAMSM encoders (from the
+    # GAN checkpoint or the pretrain_DAMSM checkpoint)
+    encoders_trained = restored is not None or text_params is not None
     sample_jit = trainer.jitted_sample()
 
     if args.strict:
@@ -97,10 +105,16 @@ def main():
     fid, (is_m, is_s) = compute_fid_is(reals, fakes, extractor)
     rp = r_precision(np.concatenate(sents), np.concatenate(globals_))
     n = sum(f.shape[0] for f in fakes)
+    # self-describing labels: lite/untrained numbers must not be mistaken
+    # for published-comparable metrics (VERDICT r1 weak #6)
+    is_tag = "" if args.strict else (
+        " [lite: feature-softmax surrogate — NOT comparable to published IS]")
+    rp_tag = "" if encoders_trained else (
+        " [untrained encoders — meaningless until DAMSM is pretrained]")
     print(f"eval over {n} samples [{mode}]")
     print(f"FID: {fid:.3f}")
-    print(f"IS: {is_m:.3f} +/- {is_s:.3f}")
-    print(f"R-precision: {rp:.3f}")
+    print(f"IS: {is_m:.3f} +/- {is_s:.3f}{is_tag}")
+    print(f"R-precision: {rp:.3f}{rp_tag}")
 
 
 if __name__ == "__main__":

@@ -17,8 +17,18 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def build_feed(cfg, args):
+    """Host feed from a manifest. Returns
+    ``(feed_or_None, n_records, vocab_or_None)``.
+
+    ``cfg.B_VALIDATION`` is the train/held-out split switch (the reference's
+    behavior of pointing eval at the test split): with it set, training
+    (``TRAIN.FLAG``) sees the train portion and sampling/eval the held-out
+    portion; without it, all records are used either way.
+    """
     if args.manifest:
-        from objgan_tpu.data.pipeline import CocoFeed, load_records_json
+        from objgan_tpu.data.pipeline import (
+            CocoFeed, load_records_json, split_records,
+        )
         from objgan_tpu.data.tokenizer import Vocab
 
         records = load_records_json(args.manifest)
@@ -27,12 +37,20 @@ def build_feed(cfg, args):
             if args.captions_pickle
             else Vocab.build(c for r in records for c in r["captions"])
         )
+        if cfg.B_VALIDATION:
+            train_recs, val_recs = split_records(records, seed=cfg.RNG_SEED)
+            records = train_recs if cfg.TRAIN.FLAG else val_recs
+            print(f"B_VALIDATION split: {len(train_recs)} train / "
+                  f"{len(val_recs)} held-out; using "
+                  f"{'train' if cfg.TRAIN.FLAG else 'held-out'}")
         if getattr(args, "grain", False):
             from objgan_tpu.data.grain_feed import grain_feed
 
-            return grain_feed(cfg, records, vocab, seed=cfg.RNG_SEED)
-        return iter(CocoFeed(cfg, records, vocab, seed=cfg.RNG_SEED))
-    return None
+            return grain_feed(cfg, records, vocab,
+                              seed=cfg.RNG_SEED), len(records), vocab
+        return iter(CocoFeed(cfg, records, vocab,
+                             seed=cfg.RNG_SEED)), len(records), vocab
+    return None, 0, None
 
 
 def main():
@@ -57,20 +75,11 @@ def main():
     if args.data_dir:
         cfg = cfg.replace(DATA_DIR=args.data_dir)
 
-    feed = build_feed(cfg, args)
-    max_steps = args.max_steps
-    if max_steps >= 10**9 and args.manifest:
-        # reference semantics: train for TRAIN.MAX_EPOCH epochs
-        import json
-
-        with open(args.manifest) as f:
-            n_records = len(json.load(f))
-        steps_per_epoch = max(1, n_records // cfg.TRAIN.BATCH_SIZE)
-        max_steps = cfg.TRAIN.MAX_EPOCH * steps_per_epoch
-        print(f"training {cfg.TRAIN.MAX_EPOCH} epochs x {steps_per_epoch} "
-              f"steps = {max_steps} steps")
+    feed, n_records, vocab = build_feed(cfg, args)
+    cfg, max_steps = cli.apply_epoch_schedule(cfg, n_records, args.max_steps)
     if cfg.TRAIN.FLAG:
-        cli.train_gan(cfg, feed, max_steps=max_steps)
+        cli.train_gan(cfg, feed, max_steps=max_steps,
+                      ixtoword=vocab.ixtoword if vocab else None)
     else:
         cli.sample_gan(cfg, feed, num_batches=args.num_batches)
 

@@ -26,7 +26,9 @@ def main():
     cfg = cfg_from_file(args.cfg_file) if args.cfg_file else Config()
     from gan.main import build_feed
 
-    cli.pretrain_damsm(cfg, build_feed(cfg, args), max_steps=args.max_steps)
+    feed, n_records, _ = build_feed(cfg, args)
+    cfg, max_steps = cli.apply_epoch_schedule(cfg, n_records, args.max_steps)
+    cli.pretrain_damsm(cfg, feed, max_steps=max_steps)
 
 
 if __name__ == "__main__":

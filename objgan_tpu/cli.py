@@ -39,6 +39,25 @@ def _out_dir(cfg: Config, stage: str) -> str:
     return d
 
 
+def apply_epoch_schedule(cfg: Config, n_records: int, max_steps: int):
+    """Convert the lineage's epoch-denominated knobs into steps once the
+    dataset size is known (reference semantics: ``for epoch in
+    range(MAX_EPOCH)`` over the dataloader, snapshots every
+    SNAPSHOT_INTERVAL epochs). Returns ``(cfg, max_steps)``."""
+    if n_records <= 0:
+        return cfg, max_steps
+    steps_per_epoch = max(1, n_records // cfg.TRAIN.BATCH_SIZE)
+    if max_steps >= 10**9:
+        max_steps = cfg.TRAIN.MAX_EPOCH * steps_per_epoch
+        print(f"training {cfg.TRAIN.MAX_EPOCH} epochs x {steps_per_epoch} "
+              f"steps = {max_steps} steps")
+    if cfg.TRAIN.SNAPSHOT_STEPS == 0:
+        cfg = cfg.merged({"TRAIN": {
+            "SNAPSHOT_STEPS": cfg.TRAIN.SNAPSHOT_INTERVAL * steps_per_epoch
+        }})
+    return cfg, max_steps
+
+
 def _feed(cfg: Config, data_iter, rng, with_images=True):
     """Use the provided host feed, or an endless synthetic stream."""
     if data_iter is not None:
@@ -117,7 +136,11 @@ def _run_loop(cfg, stage, trainer_state, step_fn, feed, writer, manager,
             last_logged = step
             logged_any = True
             writer.write(step, metrics)
-        snap_every = cfg.TRAIN.SNAPSHOT_INTERVAL * 100
+        # cadence in steps: explicit TRAIN.SNAPSHOT_STEPS, or the 500-step
+        # fallback when no dataset size is known to convert the lineage's
+        # epoch-based SNAPSHOT_INTERVAL (the CLIs set SNAPSHOT_STEPS from
+        # SNAPSHOT_INTERVAL * steps_per_epoch when a manifest is given).
+        snap_every = cfg.TRAIN.SNAPSHOT_STEPS or 500
         if step >= snap_every and step % snap_every < spe:
             save(step)
             if snapshot_hook is not None:
@@ -131,9 +154,45 @@ def _run_loop(cfg, stage, trainer_state, step_fn, feed, writer, manager,
     return state
 
 
+def load_damsm_encoders(cfg: Config, rng, first):
+    """Restore pretrained DAMSM encoder params for the Stage-C GAN.
+
+    Mirrors the reference ``condGANTrainer.build_models``: the text encoder is
+    loaded from ``TRAIN.NET_E`` (and the image encoder from the sibling
+    checkpoint) and frozen before adversarial training begins. Here both
+    encoders live in one ``DamsmTrainState`` checkpoint; ``TRAIN.NET_E`` may
+    point at its Orbax ``ckpt`` directory, with the default being the
+    pretrain_DAMSM output location ``OUTPUT_DIR/<CONFIG_NAME>_damsm/ckpt``.
+
+    Returns ``(text_params, img_params)`` or ``(None, None)`` when no
+    pretrained checkpoint exists.
+    """
+    from objgan_tpu.train.damsm import DamsmTrainer
+
+    path = cfg.TRAIN.NET_E or os.path.join(
+        cfg.OUTPUT_DIR, f"{cfg.CONFIG_NAME}_damsm", "ckpt"
+    )
+    if not os.path.isdir(path):
+        return None, None
+    trainer = DamsmTrainer(cfg)
+    batch = dict(first)
+    batch["images"] = [first["images"][-1]]
+    state = trainer.init_state(rng, batch)
+    manager = ckpt.make_manager(path)
+    restored = ckpt.restore_latest(manager, state)
+    if restored is None:
+        return None, None
+    print(f"loaded pretrained DAMSM encoders from {path} "
+          f"(step {int(restored.step)})")
+    return restored.text_params, restored.img_params
+
+
 def train_gan(cfg: Config, data_iter: Optional[Iterator] = None,
-              max_steps: int = 10**9) -> None:
-    """Stage-C adversarial training (reference ``gan/main.py`` train path)."""
+              max_steps: int = 10**9, ixtoword: Optional[dict] = None) -> None:
+    """Stage-C adversarial training (reference ``gan/main.py`` train path).
+
+    ``ixtoword``: token id → word (Vocab.ixtoword) for rendering the attended
+    words into the periodic attention grids."""
     from objgan_tpu.train.gan import GanTrainer
     from objgan_tpu.utils.visualize import build_super_images, save_png
 
@@ -143,7 +202,20 @@ def train_gan(cfg: Config, data_iter: Optional[Iterator] = None,
     feed = _feed(cfg, data_iter, rng)
     first = next(feed)
     feed = itertools.chain([first], feed)
-    state = trainer.init_state(rng, first)
+    text_params, img_params = load_damsm_encoders(cfg, rng, first)
+    if text_params is None and data_iter is not None:
+        print(
+            "=" * 72 + "\nWARNING: no pretrained DAMSM encoder checkpoint "
+            f"found (TRAIN.NET_E={cfg.TRAIN.NET_E!r}, default "
+            f"{cfg.OUTPUT_DIR}/{cfg.CONFIG_NAME}_damsm/ckpt).\n"
+            "The GAN will train against FROZEN RANDOM encoders — sentence/"
+            "word\nconditioning and the DAMSM loss will be noise. Run "
+            "gan/pretrain_DAMSM.py\nfirst (docs/TRAINING.md phase 1).\n"
+            + "=" * 72,
+            flush=True,
+        )
+    state = trainer.init_state(rng, first, text_params=text_params,
+                               img_params=img_params)
     manager = ckpt.make_manager(os.path.join(out, "ckpt"))
     restored = ckpt.restore_latest(manager, state)
     if restored is not None:
@@ -156,7 +228,9 @@ def train_gan(cfg: Config, data_iter: Optional[Iterator] = None,
         o = sample_jit(state_now, first, jax.random.fold_in(rng, step))
         grid = build_super_images(
             np.asarray(o["images"][-1]), np.asarray(o["grid_attn"][-1]),
+            captions=np.asarray(first["captions"]),
             cap_lens=np.asarray(first["cap_lens"]),
+            ixtoword=ixtoword,
         )
         save_png(os.path.join(out, f"attn_step{step}.png"), grid)
 
@@ -177,9 +251,13 @@ def sample_gan(cfg: Config, data_iter: Optional[Iterator] = None,
     feed = _feed(cfg, data_iter, rng)
     first = next(feed)
     feed = itertools.chain([first], feed)
-    state = trainer.init_state(rng, first)
+    text_params, img_params = load_damsm_encoders(cfg, rng, first)
+    state = trainer.init_state(rng, first, text_params=text_params,
+                               img_params=img_params)
+    # TRAIN.NET_G mirrors the lineage knob: an explicit generator checkpoint
+    # directory for sampling; default is this config's training output.
     manager = ckpt.make_manager(
-        os.path.join(_out_dir(cfg, "gan"), "ckpt")
+        cfg.TRAIN.NET_G or os.path.join(_out_dir(cfg, "gan"), "ckpt")
     )
     restored = ckpt.restore_latest(manager, state)
     if restored is not None:
@@ -286,6 +364,41 @@ def sample_box(cfg: Config, captions, cap_lens, out_path: Optional[str] = None,
         with open(out_path, "w") as f:
             json.dump(layout, f)
     return layout
+
+
+def eval_box(cfg: Config, data_iter: Optional[Iterator] = None,
+             num_batches: int = 10, use_beam: bool = False) -> dict:
+    """Stage-A evaluation (the reference's ``eval_utils.py`` role): held-out
+    teacher-forced NLL + layout statistics of sampled vs GT layouts. Pair
+    with ``B_VALIDATION: true`` so the manifest feed serves the held-out
+    split (gan/main.py:build_feed)."""
+    import itertools as _it
+
+    from objgan_tpu.train.box import BoxTrainer
+    from objgan_tpu.utils import box_eval
+
+    trainer = BoxTrainer(cfg)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    feed = _feed(cfg, data_iter, rng, with_images=False)
+    first = next(feed)
+    feed = itertools.chain([first], feed)
+    state = trainer.init_state(rng, first)
+    manager = ckpt.make_manager(os.path.join(_out_dir(cfg, "box"), "ckpt"))
+    restored = ckpt.restore_latest(manager, state)
+    if restored is not None:
+        state = restored
+        print(f"evaluating box checkpoint at step {int(state.step)}")
+    else:
+        print("WARNING: no box checkpoint found — evaluating an untrained "
+              "model")
+    batches = list(_it.islice(feed, num_batches))
+    metrics = box_eval.heldout_nll(trainer, state, batches)
+    metrics.update(box_eval.layout_stats(
+        trainer, state, batches, rng, cfg.OBJ.NUM_CLASSES, use_beam=use_beam
+    ))
+    for k, v in sorted(metrics.items()):
+        print(f"{k}: {v:.4f}")
+    return metrics
 
 
 def train_shape(cfg: Config, data_iter: Optional[Iterator] = None,

@@ -66,7 +66,11 @@ class TrainConfig:
     FLAG: bool = True
     BATCH_SIZE: int = 16
     MAX_EPOCH: int = 120
-    SNAPSHOT_INTERVAL: int = 5
+    SNAPSHOT_INTERVAL: int = 5   # lineage knob: snapshot every N EPOCHS
+    # checkpoint/grid cadence in STEPS. 0 = derive: the CLIs convert
+    # SNAPSHOT_INTERVAL epochs to steps when the dataset size is known
+    # (manifest feeds), else fall back to every 500 steps.
+    SNAPSHOT_STEPS: int = 0
     DISCRIMINATOR_LR: float = 2e-4
     GENERATOR_LR: float = 2e-4
     ENCODER_LR: float = 2e-4
@@ -101,6 +105,9 @@ class TextConfig:
     RNN_TYPE: str = "LSTM"
     HIDDEN_DIM: int = 128     # per-direction bi-LSTM hidden (2*128 == EMBEDDING_DIM)
     GLOVE_DIM: int = 300
+    # explicit path to a glove.6B.<dim>d.txt-style file; when empty,
+    # DATA_DIR/glove.6B.<dim>d.txt is discovered if present (data/glove.py)
+    GLOVE_PATH: str = ""
     # DAMSM image backbone: "lite" (InceptionLite, trainable from scratch)
     # or "inception" (full Inception-v3, frozen; load torchvision weights
     # via models/inception_v3.load_torchvision_checkpoint for parity)
@@ -149,6 +156,11 @@ class ShapeGenConfig:
     LAMBDA_PERCEPTUAL: float = 10.0
     LAMBDA_FM: float = 10.0         # feature-matching weight (perceptual proxy)
     LEARNING_RATE: float = 2e-4
+    # perceptual term: "fm" (D-feature-matching substitute, default) or
+    # "vgg" (lineage-exact VGG-16 features — models/vgg.py; point
+    # VGG_WEIGHTS at a torchvision vgg16 .pth for pretrained features)
+    PERCEPTUAL: str = "fm"
+    VGG_WEIGHTS: str = ""
 
 
 @dataclass(frozen=True)

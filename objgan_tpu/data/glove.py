@@ -79,3 +79,14 @@ def vocab_table(
 def coco_label_table(dim: int, glove_path: Optional[str] = None) -> np.ndarray:
     """(81, dim) label-embedding table: background + 80 COCO classes."""
     return vocab_table(COCO_CLASSES, dim, glove_path)
+
+
+def resolve_glove_path(cfg, dim: Optional[int] = None) -> Optional[str]:
+    """GloVe file for this config: explicit ``TEXT.GLOVE_PATH`` wins, else
+    ``DATA_DIR/glove.6B.<dim>d.txt`` is discovered when present. Returns
+    ``None`` (→ deterministic random fallback vectors) otherwise."""
+    if cfg.TEXT.GLOVE_PATH:
+        return cfg.TEXT.GLOVE_PATH
+    dim = dim or cfg.TEXT.GLOVE_DIM
+    candidate = os.path.join(cfg.DATA_DIR, f"glove.6B.{dim}d.txt")
+    return candidate if os.path.exists(candidate) else None

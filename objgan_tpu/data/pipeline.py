@@ -206,11 +206,21 @@ class CocoFeed:
             ]
         return out
 
+    def _epoch_indices(self) -> Iterator[int]:
+        """Endless index stream: per-epoch shuffle WITHOUT replacement, so
+        every record is visited exactly once per epoch (the reference's
+        ``for epoch: for step, data in dataloader`` semantics — SURVEY.md
+        §3.1). Batches may straddle epoch boundaries so they stay full."""
+        while True:
+            for i in self.rng.permutation(len(self.records)):
+                yield int(i)
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         cfg = self.cfg
         b = cfg.TRAIN.BATCH_SIZE
+        index_stream = self._epoch_indices()
         while True:
-            idx = self.rng.choice(len(self.records), size=b, replace=True)
+            idx = [next(index_stream) for _ in range(b)]
             rows = [self._one(self.records[i], rec_id=int(i)) for i in idx]
             batch: Dict = {}
             for k in rows[0]:
@@ -229,3 +239,17 @@ def load_records_json(path: str) -> List[Dict]:
     Polygons/boxes must already be normalized to [0, 1]."""
     with open(path) as f:
         return json.load(f)
+
+
+def split_records(records: Sequence[Dict], val_fraction: float = 0.1,
+                  seed: int = 0):
+    """Deterministic (train, val) split — the ``B_VALIDATION`` consumer:
+    with it set, trainers see the train portion and sampling/eval the
+    held-out portion (the reference's train/test split switch)."""
+    n = len(records)
+    n_val = max(1, int(round(n * val_fraction))) if n > 1 else 0
+    order = np.random.default_rng(seed).permutation(n)
+    val_idx = set(int(i) for i in order[:n_val])
+    train = [r for i, r in enumerate(records) if i not in val_idx]
+    val = [r for i, r in enumerate(records) if i in val_idx]
+    return train, val

@@ -102,10 +102,16 @@ class CNNEncoder(nn.Module):
 
 
 def build_text_encoder(cfg: Config) -> RNNEncoder:
+    if 2 * cfg.TEXT.HIDDEN_DIM != cfg.TEXT.EMBEDDING_DIM:
+        raise ValueError(
+            "TEXT.HIDDEN_DIM is the per-direction bi-LSTM width; the "
+            "concatenated directions must equal TEXT.EMBEDDING_DIM "
+            f"(got 2*{cfg.TEXT.HIDDEN_DIM} != {cfg.TEXT.EMBEDDING_DIM})"
+        )
     return RNNEncoder(
         vocab_size=cfg.TEXT.VOCAB_SIZE,
         embed_dim=cfg.TEXT.GLOVE_DIM,
-        hidden_dim=cfg.TEXT.EMBEDDING_DIM // 2,
+        hidden_dim=cfg.TEXT.HIDDEN_DIM,
     )
 
 

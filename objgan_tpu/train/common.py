@@ -11,7 +11,8 @@ def make_multi_step(train_step):
     see TRAIN.STEPS_PER_EXECUTION).
 
     ``batches``: the regular batch pytree with a leading K axis. Returns the
-    state after K steps and the last step's metrics.
+    state after K steps and the metrics MEANED over the K axis (so no loss
+    datapoint is discarded when logging granularity is K steps).
     """
 
     def multi_step(state, batches, rng):
@@ -22,6 +23,6 @@ def make_multi_step(train_step):
             return (state, key), metrics
 
         (state, _), metrics = jax.lax.scan(body, (state, rng), batches)
-        return state, jax.tree.map(lambda m: m[-1], metrics)
+        return state, jax.tree.map(lambda m: m.mean(axis=0), metrics)
 
     return multi_step

@@ -56,9 +56,12 @@ def _default_label_table(cfg: Config, rng) -> jnp.ndarray:
     random fallback vectors stand in per-word when no glove file is on
     disk — data/glove.py). Non-COCO class counts get a random table."""
     if cfg.OBJ.NUM_CLASSES == 81:
-        from objgan_tpu.data.glove import coco_label_table
+        from objgan_tpu.data.glove import coco_label_table, resolve_glove_path
 
-        return jnp.asarray(coco_label_table(cfg.OBJ.LABEL_DIM))
+        return jnp.asarray(coco_label_table(
+            cfg.OBJ.LABEL_DIM,
+            glove_path=resolve_glove_path(cfg, cfg.OBJ.LABEL_DIM),
+        ))
     return jax.random.normal(
         rng, (cfg.OBJ.NUM_CLASSES, cfg.OBJ.LABEL_DIM)
     ) * 0.02

@@ -21,12 +21,13 @@ def main():
     from objgan_tpu.core.config import Config, cfg_from_file
 
     cfg = cfg_from_file(args.cfg_file) if args.cfg_file else Config()
-    feed = None
+    feed, n_records = None, 0
     if args.manifest:
         from gan.main import build_feed
 
-        feed = build_feed(cfg, args)
-    cli.train_shape(cfg, feed, max_steps=args.max_steps)
+        feed, n_records, _ = build_feed(cfg, args)
+    cfg, max_steps = cli.apply_epoch_schedule(cfg, n_records, args.max_steps)
+    cli.train_shape(cfg, feed, max_steps=max_steps)
 
 
 if __name__ == "__main__":

@@ -145,9 +145,11 @@ class TestMultiStep:
         # sequential with the same key schedule as the scan body
         seq_state = state
         key = rng
+        seq_d_losses = []
         for _ in range(3):
             key, sub = jax.random.split(key)
             seq_state, seq_m = tr.train_step(seq_state, batch, sub)
+            seq_d_losses.append(float(seq_m["d_loss"]))
 
         stacked = jax.tree.map(
             lambda x: jnp.stack([x, x, x]) if hasattr(x, "ndim") else x, batch
@@ -158,6 +160,7 @@ class TestMultiStep:
         a = np.asarray(jax.tree.leaves(seq_state.g_params)[0])
         b = np.asarray(jax.tree.leaves(multi_state.g_params)[0])
         np.testing.assert_allclose(a, b, rtol=3e-3, atol=1e-4)
+        # multi-step metrics are the K-axis MEAN (no datapoint discarded)
         np.testing.assert_allclose(
-            float(seq_m["d_loss"]), float(multi_m["d_loss"]), rtol=3e-3
+            float(np.mean(seq_d_losses)), float(multi_m["d_loss"]), rtol=3e-3
         )
