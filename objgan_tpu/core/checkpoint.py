@@ -78,13 +78,27 @@ def wait(manager) -> None:
 # -- PyTorch interop --------------------------------------------------------
 
 
-def _to_flax_array(name: str, value: "np.ndarray") -> np.ndarray:
+def _to_flax_array(name: str, value: "np.ndarray",
+                   target: str = "") -> np.ndarray:
     arr = np.asarray(value)
-    if name.endswith(".weight") and arr.ndim == 2:
-        return arr.T  # Linear
+    leaf = name.rsplit(".", 1)[-1]
+    if target.rsplit("/", 1)[-1] == "embedding":
+        return arr  # nn.Embedding (V, D) == flax nn.Embed — no transpose
+    is_lstm_w = "weight_ih" in leaf or "weight_hh" in leaf
+    if arr.ndim == 2 and (name.endswith(".weight") or is_lstm_w):
+        return arr.T  # Linear (out,in)->(in,out); LSTM (4H,D)->(D,4H)
     if arr.ndim == 4:
         return arr.transpose(2, 3, 1, 0)  # Conv2d OIHW -> HWIO
     return arr
+
+
+def _lstm_bias_kind(name: str) -> Optional[str]:
+    leaf = name.rsplit(".", 1)[-1]
+    if "bias_ih" in leaf:
+        return "bias_ih"
+    if "bias_hh" in leaf:
+        return "bias_hh"
+    return None
 
 
 def convert_torch_state_dict(
@@ -94,15 +108,33 @@ def convert_torch_state_dict(
     """Map ``{torch_name: tensor}`` to ``{flax/path/name: array}`` using
     ``name_map`` (torch name -> '/'-joined flax path). LSTM ``weight_ih``
     and ``weight_hh`` 2-D weights transpose like Linear; gate order is
-    already i|f|g|o on both sides. Unmapped torch keys raise."""
+    already i|f|g|o on both sides. Torch's two LSTM bias vectors
+    (``bias_ih`` + ``bias_hh``) may both map to the same flax ``b`` path —
+    the cell folds them into one add — and are SUMMED; any other duplicate
+    target path raises. Unmapped torch keys raise."""
     out: Dict[str, np.ndarray] = {}
+    src: Dict[str, str] = {}
     for tname, tensor in state_dict.items():
         if tname not in name_map:
             raise KeyError(f"no mapping for torch param {tname!r}")
         arr = tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else (
             np.asarray(tensor)
         )
-        out[name_map[tname]] = _to_flax_array(tname, arr)
+        key = name_map[tname]
+        arr = _to_flax_array(tname, arr, target=key)
+        if key in out:
+            kinds = {_lstm_bias_kind(src[key]), _lstm_bias_kind(tname)}
+            if kinds == {"bias_ih", "bias_hh"}:
+                out[key] = out[key] + arr
+            else:
+                raise ValueError(
+                    f"both {src[key]!r} and {tname!r} map to flax path "
+                    f"{key!r} (only LSTM bias_ih/bias_hh pairs may share a "
+                    "target)"
+                )
+        else:
+            out[key] = arr
+            src[key] = tname
     return out
 
 

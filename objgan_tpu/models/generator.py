@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from objgan_tpu.core.config import Config
-from objgan_tpu.models.common import gn
+from objgan_tpu.models.common import gn, gn_glu
 from objgan_tpu.ops import attention as att_ops
 from objgan_tpu.ops import rasterize
 
@@ -64,7 +64,7 @@ class UpBlock(nn.Module):
         b, h, w, c = x.shape
         if self.mode == "subpixel":
             y = nn.Conv(8 * self.features, (3, 3), padding="SAME",
-                        use_bias=False, dtype=self.dtype)(x)
+                        use_bias=False, dtype=self.dtype, name="conv")(x)
             y = y.reshape(b, h, w, 2, 2, 2 * self.features)
             y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
                 b, 2 * h, 2 * w, 2 * self.features
@@ -73,9 +73,8 @@ class UpBlock(nn.Module):
         else:
             x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
             x = nn.Conv(2 * self.features, (3, 3), padding="SAME",
-                        use_bias=False, dtype=self.dtype)(x)
-        x = gn(2 * self.features, self.dtype)(x)
-        return glu(x)
+                        use_bias=False, dtype=self.dtype, name="conv")(x)
+        return gn_glu(2 * self.features, self.dtype)(x)
 
 
 class ResBlock(nn.Module):
@@ -85,33 +84,35 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         h = nn.Conv(2 * self.features, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype)(x)
-        h = gn(2 * self.features, self.dtype)(h)
-        h = glu(h)
+                    dtype=self.dtype, name="conv1")(x)
+        h = gn_glu(2 * self.features, self.dtype)(h)
         h = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype)(h)
+                    dtype=self.dtype, name="conv2")(h)
         h = gn(self.features, self.dtype)(h)
         return x + h
 
 
 class CANet(nn.Module):
-    """Conditioning augmentation: sent_emb -> sampled c_code, (mu, logvar)."""
+    """Conditioning augmentation: sent_emb -> sampled c_code, (mu, logvar).
+
+    Lineage-exact structure (AttnGAN ``CA_NET``): ONE fc to 4*c_dim, GLU,
+    then mu/logvar are the two halves of the result — so ``ca_net.fc`` from
+    reference checkpoints transfers verbatim (core/name_maps.py)."""
 
     condition_dim: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, sent_emb, rng):
-        x = nn.Dense(4 * self.condition_dim, dtype=self.dtype)(sent_emb)
-        x = glu(x)
-        mu = nn.Dense(self.condition_dim, dtype=self.dtype)(x)
-        logvar = nn.Dense(self.condition_dim, dtype=self.dtype)(x)
-        std = jnp.exp(0.5 * logvar.astype(jnp.float32))
+        x = nn.Dense(4 * self.condition_dim, dtype=self.dtype,
+                     name="fc")(sent_emb)
+        x = glu(x).astype(jnp.float32)  # (B, 2*c_dim)
+        mu = x[..., : self.condition_dim]
+        logvar = x[..., self.condition_dim:]
+        std = jnp.exp(0.5 * logvar)
         eps = jax.random.normal(rng, std.shape, jnp.float32)
-        c_code = mu.astype(jnp.float32) + std * eps
-        return c_code.astype(self.dtype), mu.astype(jnp.float32), logvar.astype(
-            jnp.float32
-        )
+        c_code = mu + std * eps
+        return c_code.astype(self.dtype), mu, logvar
 
 
 class LayoutEncoder(nn.Module):
@@ -155,14 +156,15 @@ class InitStageG(nn.Module):
         n_up = max(1, (self.base_size // 4).bit_length() - 1)  # 4 * 2^n = base
         ngf = self.gf_dim * (2**n_up)
         b = z_c.shape[0]
-        x = nn.Dense(4 * 4 * ngf * 2, use_bias=False, dtype=self.dtype)(z_c)
+        x = nn.Dense(4 * 4 * ngf * 2, use_bias=False, dtype=self.dtype,
+                     name="fc")(z_c)
         x = nn.GroupNorm(num_groups=32, dtype=self.dtype)(x.reshape(b, -1))
         x = glu(x).reshape(b, 4, 4, ngf)
         # fuse layout features at the 4x4 seed
         x = jnp.concatenate([x, layout_feats], axis=-1)
         for i in range(n_up):
             x = UpBlock(self.gf_dim * (2 ** (n_up - 1 - i)), self.dtype,
-                        self.up_mode)(x)
+                        self.up_mode, name=f"up{i}")(x)
         return x
 
 
@@ -199,7 +201,7 @@ class AttnStage(nn.Module):
         )
         for i in range(self.r_num):
             x = ResBlock(3 * c, self.dtype, name=f"res{i}")(x)
-        x = UpBlock(self.gf_dim, self.dtype, self.up_mode)(x)
+        x = UpBlock(self.gf_dim, self.dtype, self.up_mode, name="up")(x)
         return x, grid_attn.reshape(b, hh, ww, t), obj_attn
 
 
@@ -208,7 +210,9 @@ class GetImageG(nn.Module):
 
     @nn.compact
     def __call__(self, h):
-        img = nn.Conv(3, (3, 3), padding="SAME", dtype=self.dtype)(h)
+        # bias-free like the lineage's conv3x3 (exact checkpoint transfer)
+        img = nn.Conv(3, (3, 3), padding="SAME", use_bias=False,
+                      dtype=self.dtype, name="img")(h)
         return jnp.tanh(img.astype(jnp.float32))
 
 

@@ -236,7 +236,10 @@ class InceptionEncoder(nn.Module):
         b, r1, r2, _ = regions.shape
         reg_emb = nn.Conv(self.embed_dim, (1, 1), use_bias=False,
                           dtype=jnp.float32, name="emb_features")(regions)
-        g_emb = nn.Dense(self.embed_dim, use_bias=False, dtype=jnp.float32,
+        # lineage CNN_ENCODER: emb_features is a bias-free conv1x1 but
+        # emb_cnn_code is a default nn.Linear (bias=True) — keep the bias so
+        # reference checkpoints load end-to-end (core/name_maps.py).
+        g_emb = nn.Dense(self.embed_dim, use_bias=True, dtype=jnp.float32,
                          name="emb_cnn_code")(pool)
         return reg_emb.reshape(b, r1 * r2, -1), g_emb
 

@@ -183,6 +183,26 @@ class TestVisualize:
         save_png(p, grid)
         assert os.path.getsize(p) > 100
 
+    def test_caption_words_rendered(self):
+        """With captions given, each row gains a text strip with the
+        attended word rendered under its overlay (lineage behavior)."""
+        from objgan_tpu.utils.visualize import (
+            TEXT_STRIP_HEIGHT, build_super_images,
+        )
+
+        imgs = np.random.uniform(-1, 1, (1, 16, 16, 3)).astype(np.float32)
+        attn = np.random.uniform(0, 1, (1, 8, 8, 3)).astype(np.float32)
+        caps = np.array([[5, 9, 2]])
+        grid = build_super_images(
+            imgs, attn, captions=caps, cap_lens=np.array([2]), max_words=3,
+            ixtoword={5: "cat", 9: "dog"},
+        )
+        assert grid.shape == (16 + TEXT_STRIP_HEIGHT, 16 * 4, 3)
+        strip = grid[16:, 16:32]  # strip under the first word overlay
+        assert strip.max() > 0  # "cat" actually drawn
+        # padded word (index 2 >= cap_len) stays blank
+        assert grid[16:, 48:].max() == 0
+
 
 class TestAugmentation:
     def test_flip_consistency(self, tiny_cfg):
