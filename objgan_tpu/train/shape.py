@@ -28,6 +28,7 @@ class ShapeTrainState(flax.struct.PyTreeNode):
     g_opt: Any
     d_opt: Any
     label_table: jnp.ndarray  # frozen
+    vgg_params: Any = None    # frozen; only with SHAPE.PERCEPTUAL == "vgg"
 
 
 class ShapeTrainer:
@@ -35,12 +36,39 @@ class ShapeTrainer:
         self.cfg = cfg
         self.g = ShapeGenerator(cfg)
         self.d = ShapeDiscriminator(cfg)
+        self.vgg = None
+        if cfg.SHAPE.PERCEPTUAL == "vgg":
+            from objgan_tpu.models.vgg import VGG16
+
+            self.vgg = VGG16(stop_at="relu4_3")  # last perceptual tap
+        elif cfg.SHAPE.PERCEPTUAL != "fm":
+            raise ValueError(
+                f"SHAPE.PERCEPTUAL must be 'fm' or 'vgg', got "
+                f"{cfg.SHAPE.PERCEPTUAL!r}")
         self.g_tx = optax.adam(cfg.SHAPE.LEARNING_RATE, b1=0.5, b2=0.999)
         self.d_tx = optax.adam(cfg.SHAPE.LEARNING_RATE, b1=0.5, b2=0.999)
 
+    def _init_vgg(self, rng):
+        cfg = self.cfg
+        s = cfg.OBJ.SHAPE_SIZE
+        params = self.vgg.init(rng, jnp.zeros((1, s, s, 3)))
+        if cfg.SHAPE.VGG_WEIGHTS:
+            import torch
+
+            from objgan_tpu.models.vgg import load_torchvision_vgg16
+
+            sd = torch.load(cfg.SHAPE.VGG_WEIGHTS, map_location="cpu",
+                            weights_only=True)
+            params = load_torchvision_vgg16(params, sd)
+            print(f"loaded VGG-16 weights from {cfg.SHAPE.VGG_WEIGHTS}")
+        else:
+            print("WARNING: SHAPE.PERCEPTUAL=vgg without SHAPE.VGG_WEIGHTS — "
+                  "perceptual features are RANDOM (structural test only)")
+        return params
+
     def init_state(self, rng: jax.Array, batch, label_table=None):
         cfg = self.cfg
-        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
         if label_table is None:
             from objgan_tpu.train.gan import _default_label_table
 
@@ -54,6 +82,7 @@ class ShapeTrainer:
             g_params=g_params, d_params=d_params,
             g_opt=self.g_tx.init(g_params), d_opt=self.d_tx.init(d_params),
             label_table=label_table,
+            vgg_params=self._init_vgg(k5) if self.vgg is not None else None,
         )
 
     def _losses(self, g_params, d_params, state, batch, rng):
@@ -75,11 +104,27 @@ class ShapeTrainer:
         fake_logits_g, fake_feats = self.d.apply(
             sg(d_params), fake_masks, batch["boxes"], labels_emb
         )
+        # lineage perceptual term: VGG features when configured (paper §3.2),
+        # else the D-feature-matching substitute (documented divergence)
+        lambda_fm = 0.0 if self.vgg is not None else cfg.SHAPE.LAMBDA_FM
         g_l, aux = shape_g_loss(
             fake_logits_g, [sg(f) for f in real_feats], fake_feats,
             batch["shapes"], mask_logits, batch["obj_valid"],
-            cfg.SHAPE.LAMBDA_FM,
+            lambda_fm,
         )
+        if self.vgg is not None:
+            from objgan_tpu.models.vgg import vgg_perceptual_loss
+
+            b, o, s, _ = fake_masks.shape
+            per = vgg_perceptual_loss(
+                self.vgg, state.vgg_params,
+                fake_masks.reshape(b * o, s, s),
+                batch["shapes"].reshape(b * o, s, s),
+            )
+            v = batch["obj_valid"].reshape(b * o).astype(jnp.float32)
+            perceptual = jnp.sum(per * v) / jnp.maximum(jnp.sum(v), 1.0)
+            g_l = g_l + cfg.SHAPE.LAMBDA_PERCEPTUAL * perceptual
+            aux["shape_perceptual"] = perceptual
         aux.update(shape_d=d_l, shape_g=g_l)
         return d_l + g_l, aux
 
