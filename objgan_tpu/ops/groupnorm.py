@@ -1,0 +1,264 @@
+"""Fused single-read GroupNorm(+GLU) — the generator's HBM-bandwidth fix.
+
+The 256px sampling pipeline is bandwidth-bound (BASELINE.md: ~68% of v5e
+peak). XLA lowers ``GroupNorm -> GLU`` as two passes over the conv output in
+HBM: a reduce pass for the statistics and an elementwise normalize+GLU pass —
+the tensor is READ TWICE. This kernel reads it once per batch element:
+
+    grid (B,):  x[b] (N, C) --chunked DMA--> VMEM scratch (stays resident)
+                pass 1: per-chunk fp32 sum / sum-of-squares (overlapped with
+                        the remaining input DMAs)
+                pass 2: normalize (+ optional GLU) from the resident copy,
+                        double-buffered chunk DMAs back to HBM
+
+HBM traffic per call: 1R + 1W(out) vs XLA's 2R + 1W. Summed over every
+GroupNorm in the 64->128->256 cascade this is ~0.5-1 ms of the 13.5 ms
+sampling step (CLAUDE.md round-1 analysis).
+
+Narrow-channel inputs (C < 128, C | 128) are viewed as (N/fold, C*fold) so
+the lane dimension is full — otherwise Mosaic pads C=64 to 128 lanes and the
+resident slice doubles. The group statistics fold the replicated channel
+segments back together (``j % C`` in the membership matrix), so the math is
+identical to the unfolded layout.
+
+Semantics are exactly ``flax.linen.GroupNorm`` (fp32 stats via
+E[x^2]-E[x]^2 with the same eps/clamping) optionally followed by ``glu``;
+the XLA reference path below is used on CPU, for tiny inputs, and as the
+custom-VJP backward (recompute). Verified against flax in
+tests/test_groupnorm.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM budget for the resident slice (bytes); v5e has ~16 MB of VMEM and the
+# kernel additionally needs the staging buffers + loop temporaries.
+_VMEM_SLICE_BUDGET = 9 * 1024 * 1024
+_CHUNKS = 8
+_MIN_ROWS = 1024  # below this the kernel's fixed overhead beats the saving
+
+# Tests flip this to run the kernel in interpreter mode on CPU.
+INTERPRET = False
+
+
+def group_norm_reference(x, scale, bias, num_groups: int, eps: float,
+                         use_glu: bool):
+    """Bit-faithful replica of ``flax.linen.GroupNorm`` (+ optional GLU).
+
+    Stats in fp32 over (spatial..., channels-within-group) using
+    E[x^2] - E[x]^2 clamped at zero — flax's ``_compute_stats`` formula —
+    then cast back to x.dtype before the GLU gate, matching the unfused
+    ``gn() -> glu()`` call sites this kernel replaces."""
+    orig_shape = x.shape
+    c = orig_shape[-1]
+    cg = c // num_groups
+    xf = x.astype(jnp.float32).reshape(orig_shape[0], -1, num_groups, cg)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    mean2 = jnp.mean(xf * xf, axis=(1, 3), keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    y = y.reshape(orig_shape) * scale.astype(jnp.float32) + bias.astype(
+        jnp.float32)
+    y = y.astype(x.dtype)
+    if use_glu:
+        a, g = jnp.split(y, 2, axis=-1)
+        return a * jax.nn.sigmoid(g)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _kernel(x_hbm, scale_ref, bias_ref, out_hbm, x_vmem, stage, sem_in,
+            sem_out, *, n2, c2, true_c, groups, cg, fold, chunks, eps,
+            use_glu):
+    b = pl.program_id(0)
+    r = n2 // chunks
+
+    def in_dma(t):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(t * r, r), :],
+            x_vmem.at[pl.ds(t * r, r), :],
+            sem_in.at[t],
+        )
+
+    # queue ALL input chunk DMAs up front; stats compute overlaps the tail
+    for t in range(chunks):
+        in_dma(t).start()
+
+    # pass 1: fp32 channel sums / sums-of-squares, chunk by chunk
+    def stat_body(i, carry):
+        s, ss = carry
+        in_dma(i).wait()
+        xc = x_vmem[pl.ds(i * r, r), :].astype(jnp.float32)
+        return (s + jnp.sum(xc, axis=0, keepdims=True),
+                ss + jnp.sum(xc * xc, axis=0, keepdims=True))
+
+    zero = jnp.zeros((1, c2), jnp.float32)
+    s, ss = jax.lax.fori_loop(0, chunks, stat_body, (zero, zero))
+
+    # folded channel sums -> group stats -> per-(folded-)channel affine, via
+    # one-hot matmuls (group reshapes would fight Mosaic's lane layout;
+    # these are (1,C)-sized — tiny). Column j holds true channel j % true_c.
+    gi = lax.broadcasted_iota(jnp.int32, (groups, c2), 0)
+    ci = lax.broadcasted_iota(jnp.int32, (groups, c2), 1)
+    member = ((ci % true_c) // cg == gi).astype(jnp.float32)  # (G, C2)
+    cnt = jnp.float32(n2 * fold * cg)
+    gmean = jnp.dot(s, member.T, preferred_element_type=jnp.float32) / cnt
+    gmean2 = jnp.dot(ss, member.T, preferred_element_type=jnp.float32) / cnt
+    gvar = jnp.maximum(gmean2 - gmean * gmean, 0.0)
+    ginv = lax.rsqrt(gvar + eps)  # (1, G)
+    inv_c = jnp.dot(ginv, member, preferred_element_type=jnp.float32)
+    mean_c = jnp.dot(gmean, member, preferred_element_type=jnp.float32)
+    a_c = inv_c * scale_ref[...].astype(jnp.float32)         # (1, C2)
+    b_c = bias_ref[...].astype(jnp.float32) - mean_c * a_c   # (1, C2)
+
+    # pass 2: normalize (+GLU) from the resident copy; 2-slot output DMAs
+    def out_dma(slot, t):
+        return pltpu.make_async_copy(
+            stage.at[slot],
+            out_hbm.at[b, pl.ds(t * r, r), :],
+            sem_out.at[slot],
+        )
+
+    half = true_c // 2
+
+    def write_body(i, _):
+        slot = i % 2
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(slot, i - 2).wait()
+
+        y = x_vmem[pl.ds(i * r, r), :].astype(jnp.float32) * a_c + b_c
+        y = y.astype(stage.dtype)
+        if use_glu:
+            segs = [
+                y[:, k * true_c: k * true_c + half]
+                * jax.nn.sigmoid(y[:, k * true_c + half: (k + 1) * true_c])
+                for k in range(fold)
+            ]
+            y = segs[0] if fold == 1 else jnp.concatenate(segs, axis=1)
+        stage[slot] = y
+        out_dma(slot, i).start()
+        return 0
+
+    jax.lax.fori_loop(0, chunks, write_body, 0)
+    out_dma(chunks % 2, chunks - 2).wait()
+    out_dma((chunks - 1) % 2, chunks - 1).wait()
+
+
+def _fold_factor(n: int, c: int) -> int:
+    """Rows folded into lanes so the minor dim fills 128 lanes."""
+    if c >= 128 or 128 % c or c % 2:
+        return 1
+    fold = 128 // c
+    return fold if n % (fold * _CHUNKS) == 0 else 1
+
+
+def _pallas_group_norm(x3, scale, bias, num_groups, eps, use_glu):
+    """x3: (B, N, C). Returns (B, N, C) or (B, N, C//2) with GLU."""
+    b, n, c = x3.shape
+    fold = _fold_factor(n, c)
+    n2, c2 = n // fold, c * fold
+    out_half = c // 2 if use_glu else c
+    out_c2 = out_half * fold
+    chunks = _CHUNKS
+    if fold > 1:
+        x3 = x3.reshape(b, n2, c2)
+        scale = jnp.tile(scale.reshape(1, c), (1, fold))
+        bias = jnp.tile(bias.reshape(1, c), (1, fold))
+    kernel = functools.partial(
+        _kernel, n2=n2, c2=c2, true_c=c, groups=num_groups,
+        cg=c // num_groups, fold=fold, chunks=chunks, eps=eps,
+        use_glu=use_glu,
+    )
+    r = n2 // chunks
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            pl.BlockSpec((1, c2), lambda i: (0, 0)),
+            pl.BlockSpec((1, c2), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((b, n2, out_c2), x3.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n2, c2), x3.dtype),        # resident input slice
+            pltpu.VMEM((2, r, out_c2), x3.dtype),  # output staging
+            pltpu.SemaphoreType.DMA((chunks,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=INTERPRET,
+    )(x3, scale.reshape(1, c2), bias.reshape(1, c2))
+    return out.reshape(b, n, out_half)
+
+
+def _pallas_eligible(x, num_groups: int) -> bool:
+    if x.ndim != 4:
+        return False
+    b, h, w, c = x.shape
+    n = h * w
+    if n % _CHUNKS or c % num_groups:
+        return False
+    fold = _fold_factor(n, c)
+    n2, c2 = n // fold, c * fold
+    if n2 % _CHUNKS or n2 < _MIN_ROWS:
+        return False
+    c_pad = -(-c2 // 128) * 128
+    if n2 * c_pad * x.dtype.itemsize > _VMEM_SLICE_BUDGET:
+        return False
+    return True
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def group_norm_op(x, scale, bias, num_groups, eps, use_glu):
+    """GroupNorm(+GLU) — fused single-read Pallas kernel on TPU (when the
+    slice fits VMEM), flax-exact XLA reference elsewhere."""
+    if not _pallas_eligible(x, num_groups):
+        return group_norm_reference(x, scale, bias, num_groups, eps, use_glu)
+
+    def tpu_path(x, scale, bias):
+        b, h, w, c = x.shape
+        out = _pallas_group_norm(x.reshape(b, h * w, c), scale, bias,
+                                 num_groups, eps, use_glu)
+        return out.reshape(b, h, w, -1)
+
+    if INTERPRET:
+        return tpu_path(x, scale, bias)
+    return lax.platform_dependent(
+        x, scale, bias,
+        tpu=tpu_path,
+        default=lambda x, s, b: group_norm_reference(
+            x, s, b, num_groups, eps, use_glu),
+    )
+
+
+def _gn_fwd(x, scale, bias, num_groups, eps, use_glu):
+    return group_norm_op(x, scale, bias, num_groups, eps, use_glu), (
+        x, scale, bias)
+
+
+def _gn_bwd(num_groups, eps, use_glu, res, g):
+    # backward = VJP of the reference implementation (stats recompute); the
+    # training step is dispatch-bound (BASELINE.md), sampling never takes it
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: group_norm_reference(x_, s_, b_, num_groups, eps,
+                                                use_glu),
+        x, scale, bias,
+    )
+    return vjp(g)
+
+
+group_norm_op.defvjp(_gn_fwd, _gn_bwd)
