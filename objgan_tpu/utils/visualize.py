@@ -44,18 +44,47 @@ def attention_overlay(
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
+TEXT_STRIP_HEIGHT = 16
+
+
+def _text_strip(text: str, width: int, height: int = TEXT_STRIP_HEIGHT
+                ) -> np.ndarray:
+    """(height, width, 3) uint8 black strip with ``text`` rendered in white
+    (PIL's built-in bitmap font; blank strip if PIL is unavailable)."""
+    strip = np.zeros((height, width, 3), np.uint8)
+    if not text:
+        return strip
+    try:
+        from PIL import Image, ImageDraw
+
+        im = Image.fromarray(strip)
+        ImageDraw.Draw(im).text((2, 2), text, fill=(255, 255, 255))
+        return np.asarray(im)
+    except Exception:
+        return strip
+
+
 def build_super_images(
     images: np.ndarray,  # (B, S, S, 3) generated images in [-1, 1]
     attn_maps: np.ndarray,  # (B, h, w, T) grid attention
-    captions: Optional[np.ndarray] = None,  # (B, T) token ids (unused in grid)
+    captions: Optional[np.ndarray] = None,  # (B, T) token ids
     cap_lens: Optional[np.ndarray] = None,
     max_words: int = 8,
     max_rows: int = 8,
+    ixtoword: Optional[dict] = None,
 ) -> np.ndarray:
-    """One big uint8 grid: each row = [image | per-word attention overlays]."""
+    """One big uint8 grid: each row = [image | per-word attention overlays].
+
+    With ``captions`` given, the attended word is rendered under each overlay
+    (the lineage's ``build_super_images`` draws the word below each map —
+    that is what makes the grid interpretable). ``ixtoword`` maps token id →
+    word; ids missing from it (or with no mapping supplied) render as
+    ``#<id>``. Without ``captions`` the layout is unchanged (no text strip).
+    """
     b = min(images.shape[0], max_rows)
     t = min(attn_maps.shape[-1], max_words)
     size = images.shape[1]
+    ixtoword = ixtoword or {}
     rows = []
     for i in range(b):
         cells = [_to_uint8(images[i])]
@@ -65,7 +94,17 @@ def build_super_images(
                 cells.append(attention_overlay(images[i], attn_maps[i, :, :, w]))
             else:
                 cells.append(np.zeros((size, size, 3), np.uint8))
-        rows.append(np.concatenate(cells, axis=1))
+        row = np.concatenate(cells, axis=1)
+        if captions is not None:
+            strips = [_text_strip("", size)]
+            for w in range(t):
+                word = ""
+                if w < n:
+                    tok = int(captions[i, w])
+                    word = ixtoword.get(tok, f"#{tok}")
+                strips.append(_text_strip(word, size))
+            row = np.concatenate([row, np.concatenate(strips, axis=1)], axis=0)
+        rows.append(row)
     return np.concatenate(rows, axis=0)
 
 

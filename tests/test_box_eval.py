@@ -1,0 +1,81 @@
+"""Stage-A evaluation utilities (held-out NLL + layout statistics)."""
+
+import jax
+import numpy as np
+
+from objgan_tpu.data.synthetic import synthetic_batch
+from objgan_tpu.train.box import BoxTrainer
+from objgan_tpu.utils import box_eval
+
+
+class TestLayoutStats:
+    def test_box_iou_hand_cases(self):
+        a = [0.0, 0.0, 0.5, 0.5]
+        assert box_eval.box_iou(a, a) == 1.0
+        assert box_eval.box_iou(a, [0.5, 0.5, 0.5, 0.5]) == 0.0
+        # half-overlap: inter 0.25*0.5, union 0.25+0.25-0.125
+        np.testing.assert_allclose(
+            box_eval.box_iou(a, [0.25, 0.0, 0.5, 0.5]), 0.125 / 0.375)
+
+    def test_label_histogram_normalized(self):
+        h = box_eval.label_histogram(
+            np.array([[1, 2, 2, 0]]), np.array([[1, 1, 1, 0]]), 4)
+        np.testing.assert_allclose(h, [0, 1 / 3, 2 / 3, 0])
+        assert box_eval.label_histogram(
+            np.array([[3]]), np.array([[0]]), 4).sum() == 0.0
+
+    def test_matched_label_iou_greedy(self):
+        gt_labels = np.array([[2, 5]])
+        gt_boxes = np.array([[[0.0, 0.0, 0.4, 0.4], [0.5, 0.5, 0.3, 0.3]]])
+        gt_valid = np.array([[1.0, 1.0]])
+        # one exact same-class match, one class-5 prediction missing
+        sm_labels = np.array([[2, 7]])
+        sm_boxes = np.array([[[0.0, 0.0, 0.4, 0.4], [0.5, 0.5, 0.3, 0.3]]])
+        sm_valid = np.array([[1.0, 1.0]])
+        m = box_eval.matched_label_iou(gt_labels, gt_boxes, gt_valid,
+                                       sm_labels, sm_boxes, sm_valid)
+        assert m["matched_iou"] == 1.0
+        assert m["match_rate"] == 0.5
+        assert m["n_gt_objects"] == 2.0
+
+    def test_perfect_sampler_stats(self, tiny_cfg, rng):
+        """Feeding GT back as 'samples' gives IoU 1, TV 0, match rate 1."""
+        batch = synthetic_batch(tiny_cfg, rng, 4, with_images=False)
+
+        class _Echo:
+            def jitted_sample(self):
+                return lambda state, caps, lens, r: {
+                    "labels": batch["labels"], "boxes": batch["boxes"],
+                    "obj_valid": batch["obj_valid"]}
+
+            def jitted_beam_sample(self):
+                return self.jitted_sample()
+
+        stats = box_eval.layout_stats(_Echo(), None, [batch], rng,
+                                      tiny_cfg.OBJ.NUM_CLASSES)
+        assert stats["matched_iou"] == 1.0
+        assert stats["match_rate"] == 1.0
+        np.testing.assert_allclose(stats["label_tv_distance"], 0.0, atol=1e-9)
+        assert stats["mean_objects_gt"] == stats["mean_objects_sampled"]
+
+
+class TestHeldoutEval:
+    def test_heldout_nll_and_cli_runner(self, tiny_cfg, rng, tmp_path):
+        from objgan_tpu import cli
+
+        cfg = tiny_cfg.replace(DTYPE="float32", OUTPUT_DIR=str(tmp_path))
+        trainer = BoxTrainer(cfg)
+        batches = [synthetic_batch(cfg, jax.random.fold_in(rng, i),
+                                   cfg.TRAIN.BATCH_SIZE, with_images=False)
+                   for i in range(2)]
+        state = trainer.init_state(rng, batches[0])
+        nll = box_eval.heldout_nll(trainer, state, batches)
+        assert set(nll) == {"heldout_label_loss", "heldout_box_nll",
+                            "heldout_box_total"}
+        assert all(np.isfinite(v) for v in nll.values())
+
+        metrics = cli.eval_box(cfg, iter(batches * 2), num_batches=2)
+        for key in ("heldout_box_total", "matched_iou", "match_rate",
+                    "label_tv_distance", "mean_objects_gt",
+                    "mean_objects_sampled"):
+            assert key in metrics and np.isfinite(metrics[key])

@@ -77,3 +77,29 @@ def test_feed_loads_image_file(tmp_path, tiny_cfg):
     assert "images" in row
     assert row["images"][0].shape[-1] == 3
     assert row["images"][-1].min() >= -1.0 and row["images"][-1].max() <= 1.0
+
+
+def test_procedural_dataset_end_to_end(tmp_path, tiny_cfg):
+    """Procedural COCO-format generator -> real converter -> CocoFeed batch
+    (the zero-egress real-data path, VERDICT r1 #10)."""
+    import json
+
+    from objgan_tpu.data.procedural import build_manifest
+
+    path = build_manifest(str(tmp_path), n_images=5, size=64, seed=3)
+    recs = json.load(open(path))
+    assert len(recs) == 5
+    vocab = Vocab.build(c for r in recs for c in r["captions"])
+    cfg = tiny_cfg.replace(DATA_DIR=str(tmp_path)).merged(
+        {"TRAIN": {"BATCH_SIZE": 4},
+         "TEXT": {"VOCAB_SIZE": max(50, len(vocab))}})
+    feed = CocoFeed(cfg, recs, vocab, seed=0)
+    batch = next(iter(feed))
+    imgs = batch["images"][-1]
+    assert imgs.shape == (4, 64, 64, 3)
+    assert float(imgs.std()) > 0.05  # real pixels, not constant
+    assert batch["obj_valid"].sum() >= 4  # objects survived conversion
+    # masks cover a plausible fraction of their box frame
+    valid = batch["obj_valid"] > 0
+    per_obj = batch["shapes"][valid].mean(axis=(-1, -2))
+    assert per_obj.max() > 0.2
