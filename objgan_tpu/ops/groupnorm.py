@@ -15,11 +15,13 @@ HBM traffic per call: 1R + 1W(out) vs XLA's 2R + 1W. Summed over every
 GroupNorm in the 64->128->256 cascade this is ~0.5-1 ms of the 13.5 ms
 sampling step (CLAUDE.md round-1 analysis).
 
-Narrow-channel inputs (C < 128, C | 128) are viewed as (N/fold, C*fold) so
-the lane dimension is full — otherwise Mosaic pads C=64 to 128 lanes and the
-resident slice doubles. The group statistics fold the replicated channel
-segments back together (``j % C`` in the membership matrix), so the math is
-identical to the unfolded layout.
+Inputs are viewed as (N/fold, C*fold) with the smallest power-of-two fold
+that makes both C*fold and out_C*fold multiples of the 128-lane tile:
+Mosaic can only DMA-slice VMEM at lane-tile granularity, so narrow channels
+AND narrow GLU outputs (out_C = C/2 — e.g. C=128 -> 64) must be folded or
+the kernel is a hard compile error on hardware. The group statistics fold
+the replicated channel segments back together (``j % C`` in the membership
+matrix), so the math is identical to the unfolded layout.
 
 Semantics are exactly ``flax.linen.GroupNorm`` (fp32 stats via
 E[x^2]-E[x]^2 with the same eps/clamping) optionally followed by ``glu``;
@@ -131,6 +133,20 @@ def _kernel(x_hbm, scale_ref, bias_ref, out_hbm, x_vmem, stage, sem_in,
         )
 
     half = true_c // 2
+    if use_glu:
+        # GLU halves are gathered with 0/1 selection matmuls instead of lane
+        # slices: output column j = k*half + m selects input column
+        # k*true_c + m (value half) / + half (gate). With fold > 1 the
+        # slices sit at `half`-lane offsets (32/64), and sub-128-lane
+        # slicing + concat lowers to lane shuffles that made the kernel
+        # 2.3x SLOWER than XLA; the two (r, c2) @ (c2, out_c2) selection
+        # matmuls ride the MXU and are ~free at these sizes.
+        out_c2 = fold * half
+        src = lax.broadcasted_iota(jnp.int32, (c2, out_c2), 0)
+        dst = lax.broadcasted_iota(jnp.int32, (c2, out_c2), 1)
+        col = (dst // half) * true_c + dst % half
+        sel_a = (src == col).astype(jnp.float32)
+        sel_g = (src == col + half).astype(jnp.float32)
 
     def write_body(i, _):
         slot = i % 2
@@ -142,12 +158,15 @@ def _kernel(x_hbm, scale_ref, bias_ref, out_hbm, x_vmem, stage, sem_in,
         y = x_vmem[pl.ds(i * r, r), :].astype(jnp.float32) * a_c + b_c
         y = y.astype(stage.dtype)
         if use_glu:
-            segs = [
-                y[:, k * true_c: k * true_c + half]
-                * jax.nn.sigmoid(y[:, k * true_c + half: (k + 1) * true_c])
-                for k in range(fold)
-            ]
-            y = segs[0] if fold == 1 else jnp.concatenate(segs, axis=1)
+            # gate math in fp32 (Mosaic mis-lowers logistic on bf16
+            # vectors) with explicit roundings at the same points as the
+            # bf16 reference — logistic and multiply on TPU are f32
+            # internally, so round(f32 op) is the bf16 op bit-for-bit.
+            yf = y.astype(jnp.float32)
+            a = jnp.dot(yf, sel_a, preferred_element_type=jnp.float32)
+            g = jnp.dot(yf, sel_g, preferred_element_type=jnp.float32)
+            sig = jax.nn.sigmoid(g).astype(stage.dtype).astype(jnp.float32)
+            y = (a * sig).astype(stage.dtype)
         stage[slot] = y
         out_dma(slot, i).start()
         return 0
@@ -157,20 +176,29 @@ def _kernel(x_hbm, scale_ref, bias_ref, out_hbm, x_vmem, stage, sem_in,
     out_dma((chunks - 1) % 2, chunks - 1).wait()
 
 
-def _fold_factor(n: int, c: int) -> int:
-    """Rows folded into lanes so the minor dim fills 128 lanes."""
-    if c >= 128 or 128 % c or c % 2:
-        return 1
-    fold = 128 // c
-    return fold if n % (fold * _CHUNKS) == 0 else 1
+def _fold_factor(n: int, c: int, out_c: int) -> int:
+    """Smallest power-of-two row fold making BOTH the input minor dim
+    (c*fold) and the output minor dim (out_c*fold) multiples of the 128-lane
+    tile. Mosaic can only DMA-slice VMEM buffers at lane-tile granularity —
+    an unaligned staging buffer is a hard compile error on hardware ("Slice
+    shape along dimension 2 must be aligned to tiling (128)"), so GLU
+    outputs (out_c = c/2) force a fold even when c itself is >= 128.
+    Returns 0 when no admissible fold exists."""
+    fold = 1
+    while fold <= 128:
+        if (c * fold) % 128 == 0 and (out_c * fold) % 128 == 0 \
+                and n % (fold * _CHUNKS) == 0:
+            return fold
+        fold *= 2
+    return 0
 
 
 def _pallas_group_norm(x3, scale, bias, num_groups, eps, use_glu):
     """x3: (B, N, C). Returns (B, N, C) or (B, N, C//2) with GLU."""
     b, n, c = x3.shape
-    fold = _fold_factor(n, c)
-    n2, c2 = n // fold, c * fold
     out_half = c // 2 if use_glu else c
+    fold = _fold_factor(n, c, out_half)
+    n2, c2 = n // fold, c * fold
     out_c2 = out_half * fold
     chunks = _CHUNKS
     if fold > 1:
@@ -204,19 +232,21 @@ def _pallas_group_norm(x3, scale, bias, num_groups, eps, use_glu):
     return out.reshape(b, n, out_half)
 
 
-def _pallas_eligible(x, num_groups: int) -> bool:
+def _pallas_eligible(x, num_groups: int, use_glu: bool) -> bool:
     if x.ndim != 4:
         return False
     b, h, w, c = x.shape
     n = h * w
-    if n % _CHUNKS or c % num_groups:
+    if n % _CHUNKS or c % num_groups or (use_glu and c % 2):
         return False
-    fold = _fold_factor(n, c)
+    out_c = c // 2 if use_glu else c
+    fold = _fold_factor(n, c, out_c)
+    if not fold:
+        return False
     n2, c2 = n // fold, c * fold
     if n2 % _CHUNKS or n2 < _MIN_ROWS:
         return False
-    c_pad = -(-c2 // 128) * 128
-    if n2 * c_pad * x.dtype.itemsize > _VMEM_SLICE_BUDGET:
+    if n2 * c2 * x.dtype.itemsize > _VMEM_SLICE_BUDGET:
         return False
     return True
 
@@ -225,7 +255,7 @@ def _pallas_eligible(x, num_groups: int) -> bool:
 def group_norm_op(x, scale, bias, num_groups, eps, use_glu):
     """GroupNorm(+GLU) — fused single-read Pallas kernel on TPU (when the
     slice fits VMEM), flax-exact XLA reference elsewhere."""
-    if not _pallas_eligible(x, num_groups):
+    if not _pallas_eligible(x, num_groups, use_glu):
         return group_norm_reference(x, scale, bias, num_groups, eps, use_glu)
 
     def tpu_path(x, scale, bias):
@@ -245,7 +275,13 @@ def group_norm_op(x, scale, bias, num_groups, eps, use_glu):
 
 
 def _gn_fwd(x, scale, bias, num_groups, eps, use_glu):
-    return group_norm_op(x, scale, bias, num_groups, eps, use_glu), (
+    # custom_vjp routes here only under autodiff, i.e. in TRAINING steps:
+    # use the XLA reference so the forward fuses with the surrounding
+    # backward-pass HLO instead of paying the Pallas call (+ its recompute
+    # backward). Primal-only calls — the sampling path, where the
+    # bandwidth saving matters — never enter this function and keep the
+    # fused kernel.
+    return group_norm_reference(x, scale, bias, num_groups, eps, use_glu), (
         x, scale, bias)
 
 

@@ -49,17 +49,20 @@ class TestPallasKernel:
     def interpret(self, monkeypatch):
         monkeypatch.setattr(gnops, "INTERPRET", True)
 
-    # shapes chosen to hit every structural case: fold=2 (C=64), fold=4
-    # (C=32), no fold with lane padding (C=96, C=192)
+    # shapes chosen to hit every structural case: narrow-channel folds
+    # (C=64 -> fold 2/4, C=32 -> fold 8), GLU-output folds with C >= 128
+    # (C=128 GLU -> fold 2: the case Mosaic hard-rejects unfolded), and
+    # non-power-of-two channels (C=96 -> fold 4, C=192 GLU -> fold 4)
     @pytest.mark.parametrize("shape,groups,use_glu", [
         ((2, 64, 64, 64), 32, True),
         ((2, 64, 64, 64), 32, False),
-        ((1, 64, 64, 32), 32, True),
-        ((2, 32, 32, 96), 32, False),
-        ((1, 32, 32, 192), 32, True),
+        ((2, 64, 64, 128), 32, True),
+        ((1, 128, 128, 32), 32, True),
+        ((2, 64, 64, 96), 32, False),
+        ((1, 64, 64, 192), 32, True),
     ])
     def test_matches_reference(self, shape, groups, use_glu):
-        assert gnops._pallas_eligible(_rand(shape), groups)
+        assert gnops._pallas_eligible(_rand(shape), groups, use_glu)
         c = shape[-1]
         x = _rand(shape, seed=7)
         scale = jax.random.uniform(jax.random.PRNGKey(8), (c,), minval=0.5,
@@ -111,11 +114,14 @@ class TestPallasKernel:
 
 class TestEligibility:
     def test_small_and_odd_inputs_fall_back(self):
-        assert not gnops._pallas_eligible(_rand((2, 8, 8, 64)), 32)   # tiny
-        assert not gnops._pallas_eligible(_rand((2, 64, 64)), 32)     # 3-D
-        assert gnops._pallas_eligible(_rand((2, 64, 64, 64)), 32)
+        assert not gnops._pallas_eligible(_rand((2, 8, 8, 64)), 32, False)
+        assert not gnops._pallas_eligible(_rand((2, 64, 64)), 32, False)
+        assert gnops._pallas_eligible(_rand((2, 64, 64, 64)), 32, False)
         # oversize slice: 512*512*256 fp32 > budget
-        assert not gnops._pallas_eligible(_rand((1, 512, 512, 256)), 32)
+        assert not gnops._pallas_eligible(_rand((1, 512, 512, 256)), 32,
+                                          False)
+        # every aligned fold would leave too few rows resident
+        assert not gnops._pallas_eligible(_rand((2, 32, 32, 32)), 32, True)
 
     def test_reference_used_when_ineligible(self):
         x = _rand((2, 4, 4, 16))
