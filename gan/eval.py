@@ -61,16 +61,20 @@ def main():
     first = next(it)
     from objgan_tpu.cli import load_damsm_encoders
 
+    from objgan_tpu.cli import _host_cpu
+
     text_params, img_params = load_damsm_encoders(cfg, rng, first)
-    state = trainer.init_state(rng, first, text_params=text_params,
-                               img_params=img_params)
-    manager = ckpt.make_manager(
-        cfg.TRAIN.NET_G
-        or os.path.join(cfg.OUTPUT_DIR, f"{cfg.CONFIG_NAME}_gan", "ckpt"))
-    restored = ckpt.restore_latest(manager, state)
+    with _host_cpu():
+        state = trainer.init_state(rng, first, text_params=text_params,
+                                   img_params=img_params)
+        manager = ckpt.make_manager(
+            cfg.TRAIN.NET_G
+            or os.path.join(cfg.OUTPUT_DIR, f"{cfg.CONFIG_NAME}_gan", "ckpt"))
+        restored = ckpt.restore_latest(manager, state)
     if restored is not None:
         state = restored
         print(f"evaluating checkpoint at step {int(state.step)}")
+    state = jax.device_put(state, jax.devices()[0])
     # R-precision is only meaningful with trained DAMSM encoders (from the
     # GAN checkpoint or the pretrain_DAMSM checkpoint)
     encoders_trained = restored is not None or text_params is not None

@@ -33,6 +33,14 @@ from objgan_tpu.parallel.sharding import (
 )
 
 
+def _host_cpu():
+    """Device context for parameter init/restore: the dozens of tiny eager
+    init programs compile in seconds on the host CPU but take minutes each
+    through a remote-compile TPU path (see bench.py). ``_run_loop`` moves the
+    state onto the real device mesh via ``replicate()`` afterwards."""
+    return jax.default_device(jax.devices("cpu")[0])
+
+
 def _out_dir(cfg: Config, stage: str) -> str:
     d = os.path.join(cfg.OUTPUT_DIR, f"{cfg.CONFIG_NAME}_{stage}")
     os.makedirs(d, exist_ok=True)
@@ -177,9 +185,10 @@ def load_damsm_encoders(cfg: Config, rng, first):
     trainer = DamsmTrainer(cfg)
     batch = dict(first)
     batch["images"] = [first["images"][-1]]
-    state = trainer.init_state(rng, batch)
-    manager = ckpt.make_manager(path)
-    restored = ckpt.restore_latest(manager, state)
+    with _host_cpu():
+        state = trainer.init_state(rng, batch)
+        manager = ckpt.make_manager(path)
+        restored = ckpt.restore_latest(manager, state)
     if restored is None:
         return None, None
     print(f"loaded pretrained DAMSM encoders from {path} "
@@ -214,10 +223,11 @@ def train_gan(cfg: Config, data_iter: Optional[Iterator] = None,
             + "=" * 72,
             flush=True,
         )
-    state = trainer.init_state(rng, first, text_params=text_params,
-                               img_params=img_params)
-    manager = ckpt.make_manager(os.path.join(out, "ckpt"))
-    restored = ckpt.restore_latest(manager, state)
+    with _host_cpu():
+        state = trainer.init_state(rng, first, text_params=text_params,
+                                   img_params=img_params)
+        manager = ckpt.make_manager(os.path.join(out, "ckpt"))
+        restored = ckpt.restore_latest(manager, state)
     if restored is not None:
         state = restored
         print(f"resumed from step {int(state.step)}")
@@ -252,16 +262,19 @@ def sample_gan(cfg: Config, data_iter: Optional[Iterator] = None,
     first = next(feed)
     feed = itertools.chain([first], feed)
     text_params, img_params = load_damsm_encoders(cfg, rng, first)
-    state = trainer.init_state(rng, first, text_params=text_params,
-                               img_params=img_params)
-    # TRAIN.NET_G mirrors the lineage knob: an explicit generator checkpoint
-    # directory for sampling; default is this config's training output.
-    manager = ckpt.make_manager(
-        cfg.TRAIN.NET_G or os.path.join(_out_dir(cfg, "gan"), "ckpt")
-    )
-    restored = ckpt.restore_latest(manager, state)
+    with _host_cpu():
+        state = trainer.init_state(rng, first, text_params=text_params,
+                                   img_params=img_params)
+        # TRAIN.NET_G mirrors the lineage knob: an explicit generator
+        # checkpoint directory for sampling; default is this config's
+        # training output.
+        manager = ckpt.make_manager(
+            cfg.TRAIN.NET_G or os.path.join(_out_dir(cfg, "gan"), "ckpt")
+        )
+        restored = ckpt.restore_latest(manager, state)
     if restored is not None:
         state = restored
+    state = jax.device_put(state, jax.devices()[0])
     sample_jit = trainer.jitted_sample()
     n = 0
     for i, batch in enumerate(feed):
@@ -297,9 +310,10 @@ def pretrain_damsm(cfg: Config, data_iter: Optional[Iterator] = None,
     feed = _finest_scale_only(_feed(cfg, data_iter, rng))
     first = next(feed)
     feed = itertools.chain([first], feed)
-    state = trainer.init_state(rng, first)
-    manager = ckpt.make_manager(os.path.join(out, "ckpt"))
-    restored = ckpt.restore_latest(manager, state)
+    with _host_cpu():
+        state = trainer.init_state(rng, first)
+        manager = ckpt.make_manager(os.path.join(out, "ckpt"))
+        restored = ckpt.restore_latest(manager, state)
     if restored is not None:
         state = restored
     writer = MetricsWriter(out, "damsm")
@@ -318,9 +332,10 @@ def train_box(cfg: Config, data_iter: Optional[Iterator] = None,
     feed = _feed(cfg, data_iter, rng, with_images=False)
     first = next(feed)
     feed = itertools.chain([first], feed)
-    state = trainer.init_state(rng, first)
-    manager = ckpt.make_manager(os.path.join(out, "ckpt"))
-    restored = ckpt.restore_latest(manager, state)
+    with _host_cpu():
+        state = trainer.init_state(rng, first)
+        manager = ckpt.make_manager(os.path.join(out, "ckpt"))
+        restored = ckpt.restore_latest(manager, state)
     if restored is not None:
         state = restored
     writer = MetricsWriter(out, "box")
@@ -343,13 +358,16 @@ def sample_box(cfg: Config, captions, cap_lens, out_path: Optional[str] = None,
 
     trainer = BoxTrainer(cfg)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
-    dummy = synthetic_batch(cfg, rng, max(2, captions.shape[0]),
-                            with_images=False)
-    state = trainer.init_state(rng, dummy)
-    manager = ckpt.make_manager(os.path.join(_out_dir(cfg, "box"), "ckpt"))
-    restored = ckpt.restore_latest(manager, state)
+    with _host_cpu():
+        dummy = synthetic_batch(cfg, rng, max(2, captions.shape[0]),
+                                with_images=False)
+        state = trainer.init_state(rng, dummy)
+        manager = ckpt.make_manager(os.path.join(_out_dir(cfg, "box"),
+                                                 "ckpt"))
+        restored = ckpt.restore_latest(manager, state)
     if restored is not None:
         state = restored
+    state = jax.device_put(state, jax.devices()[0])
     if use_beam is None:
         use_beam = cfg.BOX.BEAM_SIZE > 1
     sampler = (trainer.jitted_beam_sample() if use_beam
@@ -382,15 +400,18 @@ def eval_box(cfg: Config, data_iter: Optional[Iterator] = None,
     feed = _feed(cfg, data_iter, rng, with_images=False)
     first = next(feed)
     feed = itertools.chain([first], feed)
-    state = trainer.init_state(rng, first)
-    manager = ckpt.make_manager(os.path.join(_out_dir(cfg, "box"), "ckpt"))
-    restored = ckpt.restore_latest(manager, state)
+    with _host_cpu():
+        state = trainer.init_state(rng, first)
+        manager = ckpt.make_manager(os.path.join(_out_dir(cfg, "box"),
+                                                 "ckpt"))
+        restored = ckpt.restore_latest(manager, state)
     if restored is not None:
         state = restored
         print(f"evaluating box checkpoint at step {int(state.step)}")
     else:
         print("WARNING: no box checkpoint found — evaluating an untrained "
               "model")
+    state = jax.device_put(state, jax.devices()[0])
     batches = list(_it.islice(feed, num_batches))
     metrics = box_eval.heldout_nll(trainer, state, batches)
     metrics.update(box_eval.layout_stats(
@@ -411,9 +432,10 @@ def train_shape(cfg: Config, data_iter: Optional[Iterator] = None,
     feed = _feed(cfg, data_iter, rng, with_images=False)
     first = next(feed)
     feed = itertools.chain([first], feed)
-    state = trainer.init_state(rng, first)
-    manager = ckpt.make_manager(os.path.join(out, "ckpt"))
-    restored = ckpt.restore_latest(manager, state)
+    with _host_cpu():
+        state = trainer.init_state(rng, first)
+        manager = ckpt.make_manager(os.path.join(out, "ckpt"))
+        restored = ckpt.restore_latest(manager, state)
     if restored is not None:
         state = restored
     writer = MetricsWriter(out, "shape")

@@ -67,6 +67,9 @@ def grain_feed(
     """Infinite (or ``num_epochs``-bounded) batch iterator via Grain."""
     import grain.python as gp
 
+    from objgan_tpu.data.pipeline import validate_labels
+
+    validate_labels(cfg, records)
     transform = _RecordTransform(cfg, vocab, with_images, augment)
     ds = (
         gp.MapDataset.source(list(records))

@@ -116,6 +116,7 @@ class CocoFeed:
                 f"is {cfg.TEXT.VOCAB_SIZE}; raise it (nn.Embed would silently "
                 "clamp out-of-range token ids)"
             )
+        validate_labels(cfg, self.records)
 
     def _load_image(self, rec: Dict) -> Optional[np.ndarray]:
         """Inline array, or lazy-load ``image_file`` (converted COCO
@@ -232,6 +233,19 @@ class CocoFeed:
                 else:
                     batch[k] = np.stack([r[k] for r in rows])
             yield batch
+
+
+def validate_labels(cfg: Config, records: Sequence[Dict]) -> None:
+    """Fail fast on class ids outside [0, NUM_CLASSES): an out-of-range
+    label one-hots to all-zeros downstream and the object class losses go
+    NaN silently, which is much harder to trace back here."""
+    hi = max((int(max(r["labels"])) for r in records if len(r["labels"])),
+             default=0)
+    if hi >= cfg.OBJ.NUM_CLASSES:
+        raise ValueError(
+            f"dataset has class id {hi} but cfg.OBJ.NUM_CLASSES is "
+            f"{cfg.OBJ.NUM_CLASSES}; labels must lie in [0, NUM_CLASSES)"
+        )
 
 
 def load_records_json(path: str) -> List[Dict]:
