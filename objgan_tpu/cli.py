@@ -21,6 +21,17 @@ from typing import Iterator, Optional
 import jax
 import numpy as np
 
+# persistent compile cache: restarted runs (resume, the phase-wise training
+# recipe, repeated evals) skip recompiles — essential when compiles go
+# through a remote TPU tunnel at minutes per program. conftest.py/test runs
+# configure their own dir first; don't override an explicit setting.
+if jax.config.jax_compilation_cache_dir is None:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("OBJGAN_COMPILE_CACHE", "/tmp/objgan_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from objgan_tpu.core import checkpoint as ckpt
 from objgan_tpu.core.config import Config
 from objgan_tpu.core.metrics import MetricsWriter

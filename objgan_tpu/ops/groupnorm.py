@@ -11,9 +11,14 @@ the tensor is READ TWICE. This kernel reads it once per batch element:
                 pass 2: normalize (+ optional GLU) from the resident copy,
                         double-buffered chunk DMAs back to HBM
 
-HBM traffic per call: 1R + 1W(out) vs XLA's 2R + 1W. Summed over every
-GroupNorm in the 64->128->256 cascade this is ~0.5-1 ms of the 13.5 ms
-sampling step (CLAUDE.md round-1 analysis).
+HBM traffic per call: 1R + 1W(out) vs XLA's 2R + 1W. The round-1 analysis
+projected ~0.5-1 ms of the 13.5 ms sampling step from this; v5e
+measurement says otherwise — XLA overlaps its two passes well enough that
+the kernel only wins on non-GLU fold<=2 shapes (see ``_pallas_eligible``
+for the numbers), and dispatch is restricted to exactly that regime. The
+GLU epilogue (selection matmuls) is kept: it is interpret-verified,
+reachable by flipping eligibility, and documents why the wider fusion
+does not pay.
 
 Inputs are viewed as (N/fold, C*fold) with the smallest power-of-two fold
 that makes both C*fold and out_C*fold multiples of the 128-lane tile:
@@ -44,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 # kernel additionally needs the staging buffers + loop temporaries.
 _VMEM_SLICE_BUDGET = 9 * 1024 * 1024
 _CHUNKS = 8
-_MIN_ROWS = 1024  # below this the kernel's fixed overhead beats the saving
+_MIN_ROWS = 2048  # below this the kernel's fixed overhead beats the saving
 
 # Tests flip this to run the kernel in interpreter mode on CPU.
 INTERPRET = False
@@ -233,15 +238,23 @@ def _pallas_group_norm(x3, scale, bias, num_groups, eps, use_glu):
 
 
 def _pallas_eligible(x, num_groups: int, use_glu: bool) -> bool:
-    if x.ndim != 4:
+    """Dispatch to the kernel ONLY in its measured winning regime.
+
+    v5e microbenchmarks (batch-16 generator shapes, bf16, device-loop):
+    GLU cases LOSE ~2x to XLA's two-pass even with the selection-matmul
+    epilogue (256x256x64 GLU: 2.76 ms vs 1.34; 128x128x192 GLU: 2.27 vs
+    1.04), and fold=4 loses without GLU too (128x128x96: 0.83 vs 0.75).
+    Wins are non-GLU with fold <= 2 and enough resident rows (128x128x128:
+    1.23x; 64x64x64 fold=2: 1.06x). XLA overlaps its stat/apply passes far
+    better than the single-read argument assumed — respect the data."""
+    if use_glu or x.ndim != 4:
         return False
     b, h, w, c = x.shape
     n = h * w
-    if n % _CHUNKS or c % num_groups or (use_glu and c % 2):
+    if n % _CHUNKS or c % num_groups:
         return False
-    out_c = c // 2 if use_glu else c
-    fold = _fold_factor(n, c, out_c)
-    if not fold:
+    fold = _fold_factor(n, c, c)
+    if not fold or fold > 2:
         return False
     n2, c2 = n // fold, c * fold
     if n2 % _CHUNKS or n2 < _MIN_ROWS:
@@ -252,11 +265,9 @@ def _pallas_eligible(x, num_groups: int, use_glu: bool) -> bool:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def group_norm_op(x, scale, bias, num_groups, eps, use_glu):
-    """GroupNorm(+GLU) — fused single-read Pallas kernel on TPU (when the
-    slice fits VMEM), flax-exact XLA reference elsewhere."""
-    if not _pallas_eligible(x, num_groups, use_glu):
-        return group_norm_reference(x, scale, bias, num_groups, eps, use_glu)
+def _group_norm_kernel_op(x, scale, bias, num_groups, eps, use_glu):
+    """Kernel-eligible shapes only. custom_vjp so autodiff never traces
+    the Pallas call; see ``_gn_fwd``."""
 
     def tpu_path(x, scale, bias):
         b, h, w, c = x.shape
@@ -272,6 +283,19 @@ def group_norm_op(x, scale, bias, num_groups, eps, use_glu):
         default=lambda x, s, b: group_norm_reference(
             x, s, b, num_groups, eps, use_glu),
     )
+
+
+def group_norm_op(x, scale, bias, num_groups, eps, use_glu):
+    """GroupNorm(+GLU): fused single-read Pallas kernel on TPU in its
+    measured-win regime, flax-exact XLA reference elsewhere.
+
+    Ineligible shapes call the reference DIRECTLY — plain autodiff, no
+    custom_vjp wrapper — so training backward passes are the same fused
+    XLA HLO as differentiating ``nn.GroupNorm`` (wrapping everything in a
+    recompute-backward custom_vjp cost ~10% sustained train-step time)."""
+    if not _pallas_eligible(x, num_groups, use_glu):
+        return group_norm_reference(x, scale, bias, num_groups, eps, use_glu)
+    return _group_norm_kernel_op(x, scale, bias, num_groups, eps, use_glu)
 
 
 def _gn_fwd(x, scale, bias, num_groups, eps, use_glu):
@@ -297,4 +321,4 @@ def _gn_bwd(num_groups, eps, use_glu, res, g):
     return vjp(g)
 
 
-group_norm_op.defvjp(_gn_fwd, _gn_bwd)
+_group_norm_kernel_op.defvjp(_gn_fwd, _gn_bwd)

@@ -62,7 +62,9 @@ class TestPallasKernel:
         ((1, 64, 64, 192), 32, True),
     ])
     def test_matches_reference(self, shape, groups, use_glu):
-        assert gnops._pallas_eligible(_rand(shape), groups, use_glu)
+        # kernel correctness is independent of the dispatch policy
+        # (_pallas_eligible restricts to the measured-win regime; the
+        # kernel itself must stay right for every structural case)
         c = shape[-1]
         x = _rand(shape, seed=7)
         scale = jax.random.uniform(jax.random.PRNGKey(8), (c,), minval=0.5,
@@ -88,20 +90,24 @@ class TestPallasKernel:
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             atol=2e-2)
 
-    def test_op_dispatch_and_grads(self):
+    # use_glu=True exercises the ineligible/plain-autodiff path,
+    # use_glu=False the kernel-eligible custom_vjp (recompute-bwd) path
+    @pytest.mark.parametrize("use_glu", [True, False])
+    def test_op_dispatch_and_grads(self, use_glu):
         """group_norm_op output + grads equal reference everywhere."""
         shape, groups = (1, 64, 64, 64), 32
         x = _rand(shape, seed=13)
         scale = jnp.ones(64) * 1.1
         bias = jnp.zeros(64) + 0.05
+        assert gnops._pallas_eligible(x, groups, use_glu) == (not use_glu)
 
         def loss_op(x, s, b):
-            return jnp.sum(gnops.group_norm_op(x, s, b, groups, 1e-6, True)
-                           ** 2)
+            return jnp.sum(gnops.group_norm_op(x, s, b, groups, 1e-6,
+                                               use_glu) ** 2)
 
         def loss_ref(x, s, b):
             return jnp.sum(gnops.group_norm_reference(x, s, b, groups, 1e-6,
-                                                      True) ** 2)
+                                                      use_glu) ** 2)
 
         np.testing.assert_allclose(float(loss_op(x, scale, bias)),
                                    float(loss_ref(x, scale, bias)), rtol=1e-5)
@@ -120,8 +126,10 @@ class TestEligibility:
         # oversize slice: 512*512*256 fp32 > budget
         assert not gnops._pallas_eligible(_rand((1, 512, 512, 256)), 32,
                                           False)
-        # every aligned fold would leave too few rows resident
-        assert not gnops._pallas_eligible(_rand((2, 32, 32, 32)), 32, True)
+        # outside the measured-win regime (see _pallas_eligible): GLU
+        # always falls back, as does fold > 2 (96 channels -> fold 4)
+        assert not gnops._pallas_eligible(_rand((2, 64, 64, 128)), 32, True)
+        assert not gnops._pallas_eligible(_rand((2, 64, 64, 96)), 32, False)
 
     def test_reference_used_when_ineligible(self):
         x = _rand((2, 4, 4, 16))
