@@ -20,7 +20,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cfg", dest="cfg_file", default=None)
     ap.add_argument("--caption", action="append", default=None)
+    ap.add_argument("--captions_file", default=None,
+                    help="text file, one caption per line (the lineage's "
+                         "gen_example input format)")
     ap.add_argument("--captions_pickle", default=None)
+    ap.add_argument("--manifest", default=None,
+                    help="training manifest: build the vocab from its "
+                         "captions so token ids match the trained "
+                         "checkpoints")
     ap.add_argument("--out", default="output/pipeline_samples")
     args = ap.parse_args()
 
@@ -33,11 +40,20 @@ def main():
     from objgan_tpu.utils.visualize import _to_uint8, save_png
 
     cfg = cfg_from_file(args.cfg_file) if args.cfg_file else Config()
-    captions = args.caption or ["a person riding a horse on a beach"]
-    vocab = (
-        Vocab.from_reference_pickle(args.captions_pickle)
-        if args.captions_pickle else Vocab.build(captions)
-    )
+    captions = list(args.caption or [])
+    if args.captions_file:
+        with open(args.captions_file) as f:
+            captions += [ln.strip() for ln in f if ln.strip()]
+    captions = captions or ["a person riding a horse on a beach"]
+    if args.captions_pickle:
+        vocab = Vocab.from_reference_pickle(args.captions_pickle)
+    elif args.manifest:
+        from objgan_tpu.data.pipeline import load_records_json
+
+        records = load_records_json(args.manifest)
+        vocab = Vocab.build(c for r in records for c in r["captions"])
+    else:
+        vocab = Vocab.build(captions)
     caps, lens = vocab.encode_batch(captions, cfg.TEXT.WORDS_NUM)
 
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
