@@ -131,6 +131,27 @@ class CocoFeed:
                 return np.asarray(im.convert("RGB"), np.float32)
         return None
 
+    def _file_pyramid(self, rec: Dict, flip: bool) -> Optional[list]:
+        """Fast pyramid for on-disk images: PIL's C box-filter resize is
+        ~6x the numpy strided-mean in ``_resize_area`` (it dominated the
+        host feed at 279 ms/batch-16), with the same area-average
+        semantics. Each scale resizes from the decoded original."""
+        if not rec.get("image_file"):
+            return None
+        from PIL import Image
+
+        path = os.path.join(self.image_root, rec["image_file"])
+        with Image.open(path) as im:
+            im = im.convert("RGB")
+            if flip:
+                im = im.transpose(Image.FLIP_LEFT_RIGHT)
+            out = []
+            for sz in self.cfg.branch_sizes:
+                r = im if im.size == (sz, sz) else im.resize((sz, sz),
+                                                             Image.BOX)
+                out.append(np.asarray(r, np.float32) / 127.5 - 1.0)
+        return out
+
     @staticmethod
     def _image_was_int(rec: Dict) -> bool:
         """Integer-typed pixels (incl. decoded files) get /127.5-1."""
@@ -193,18 +214,22 @@ class CocoFeed:
             "shapes": masks,
             "obj_valid": valid,
         }
-        img, was_int = (self._load_image(rec), self._image_was_int(rec)) \
-            if self.with_images else (None, False)
-        if img is not None:
-            if was_int:
-                img = img / 127.5 - 1.0  # uint8 -> [-1, 1]
-            # float inputs are REQUIRED to already be in [-1, 1]
-            if flip:
-                img = img[:, ::-1]
-            out["images"] = [
-                _resize_area(img, sz).astype(np.float32)
-                for sz in cfg.branch_sizes
-            ]
+        if self.with_images:
+            pyramid = self._file_pyramid(rec, flip)
+            if pyramid is not None:
+                out["images"] = pyramid
+            else:
+                img = self._load_image(rec)
+                if img is not None:
+                    if self._image_was_int(rec):
+                        img = img / 127.5 - 1.0  # uint8 -> [-1, 1]
+                    # float inputs are REQUIRED to already be in [-1, 1]
+                    if flip:
+                        img = img[:, ::-1]
+                    out["images"] = [
+                        _resize_area(img, sz).astype(np.float32)
+                        for sz in cfg.branch_sizes
+                    ]
         return out
 
     def _epoch_indices(self) -> Iterator[int]:

@@ -92,7 +92,14 @@ def test_procedural_dataset_end_to_end(tmp_path, tiny_cfg):
     vocab = Vocab.build(c for r in recs for c in r["captions"])
     cfg = tiny_cfg.replace(DATA_DIR=str(tmp_path)).merged(
         {"TRAIN": {"BATCH_SIZE": 4},
-         "TEXT": {"VOCAB_SIZE": max(50, len(vocab))}})
+         "TEXT": {"VOCAB_SIZE": max(50, len(vocab))},
+         # real COCO class ids (1..80) — the tiny config's NUM_CLASSES=7
+         # must be rejected loudly by the feed's label guard
+         "OBJ": {"NUM_CLASSES": 81}})
+    import pytest
+
+    with pytest.raises(ValueError, match="NUM_CLASSES"):
+        CocoFeed(cfg.merged({"OBJ": {"NUM_CLASSES": 7}}), recs, vocab)
     feed = CocoFeed(cfg, recs, vocab, seed=0)
     batch = next(iter(feed))
     imgs = batch["images"][-1]
