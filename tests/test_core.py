@@ -105,7 +105,9 @@ class TestCocoFeed:
             k = int(rng.integers(1, 4))
             recs.append({
                 "captions": [f"a cat number {i}", f"another cat {i}"],
-                "labels": rng.integers(1, 80, k).tolist(),
+                # within the tiny config's NUM_CLASSES (the feed rejects
+                # out-of-range class ids loudly)
+                "labels": rng.integers(1, 7, k).tolist(),
                 "boxes": rng.uniform(0.1, 0.4, (k, 4)).tolist(),
                 "polygons": [rng.uniform(0, 1, (6, 2)) for _ in range(k)],
                 "image": rng.integers(0, 255, (64, 64, 3)).astype(np.uint8),
