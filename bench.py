@@ -1,9 +1,10 @@
 """Benchmark harness — BASELINE.json's five configs on the local device.
 
 Headline metric (printed as the final JSON line, driver contract):
-256x256 Stage-III sampling throughput, images/sec/chip. ``vs_baseline`` is
-1.0 by definition: the reference publishes no throughput (BASELINE.md), so
-this harness *establishes* the baseline.
+256x256 Stage-III sampling throughput, images/sec/chip. The reference
+publishes no throughput (BASELINE.md), so round 1 of this harness
+*established* the baseline (1187 img/s/chip, TPU v5e, batch 16);
+``vs_baseline`` is measured against that number.
 
 Usage: python bench.py [--quick] [--all]
   --quick : tiny dims, few iters (CI smoke)
@@ -234,11 +235,15 @@ def main():
     extras["batch_size"] = batch_size
     extras["n_chips"] = n_chips
     extras["backend"] = jax.default_backend()
+    # Round-1 established baseline on TPU v5e (BASELINE.md): no reference
+    # throughput exists, so later rounds compare against our own r1 number.
+    r1_baseline = 1187.0
     print(json.dumps({
         "metric": "stage3_256px_sampling_images_per_sec_per_chip",
         "value": round(imgs_per_sec, 3),
         "unit": "images/sec/chip",
-        "vs_baseline": 1.0,
+        "vs_baseline": round(imgs_per_sec / r1_baseline, 4)
+        if jax.default_backend() == "tpu" else 1.0,
         "extras": extras,
     }))
 
