@@ -58,6 +58,8 @@ def main():
     ap.add_argument("--analyze", action="store_true",
                     help="XLA cost analysis: achieved vs peak FLOP/s")
     ap.add_argument("--batch", type=int, default=0)
+    ap.add_argument("--k", type=int, default=0,
+                    help="steps per execution for the sustained-train probe")
     ap.add_argument("--up_mode", default=None,
                     choices=["nearest", "subpixel"])
     args = ap.parse_args()
@@ -172,7 +174,7 @@ def main():
     # sustained training: K chained steps per device execution — the real
     # training configuration (TRAIN.STEPS_PER_EXECUTION=8, see BASELINE.md),
     # which amortizes host/relay dispatch out of the per-step time.
-    k_exec = 2 if args.quick else 8
+    k_exec = args.k or (2 if args.quick else 8)
     multi = trainer.jitted_multi_step(donate=True)
     with jax.default_device(cpu):
         stacked = jax.tree.map(
