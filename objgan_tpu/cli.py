@@ -246,6 +246,9 @@ def train_gan(cfg: Config, data_iter: Optional[Iterator] = None,
     sample_jit = trainer.jitted_sample()
 
     def snapshot(state_now, step):
+        from objgan_tpu.data.glove import COCO_CLASSES
+        from objgan_tpu.utils.visualize import build_object_images
+
         o = sample_jit(state_now, first, jax.random.fold_in(rng, step))
         grid = build_super_images(
             np.asarray(o["images"][-1]), np.asarray(o["grid_attn"][-1]),
@@ -254,6 +257,15 @@ def train_gan(cfg: Config, data_iter: Optional[Iterator] = None,
             ixtoword=ixtoword,
         )
         save_png(os.path.join(out, f"attn_step{step}.png"), grid)
+        objs = build_object_images(
+            np.asarray(o["images"][-1]), np.asarray(first["boxes"]),
+            np.asarray(first["labels"]), np.asarray(first["obj_valid"]),
+            np.asarray(o["obj_attn"][-1]),
+            captions=np.asarray(first["captions"]),
+            cap_lens=np.asarray(first["cap_lens"]),
+            ixtoword=ixtoword, class_names=COCO_CLASSES,
+        )
+        save_png(os.path.join(out, f"objs_step{step}.png"), objs)
 
     _run_loop(cfg, "gan", state, trainer.jitted_train_step(),
               feed, writer, manager, max_steps, snapshot_hook=snapshot,

@@ -108,6 +108,93 @@ def build_super_images(
     return np.concatenate(rows, axis=0)
 
 
+_BOX_COLORS = [
+    (255, 80, 80), (80, 200, 255), (255, 220, 60), (140, 255, 120),
+    (230, 120, 255), (255, 160, 60), (120, 140, 255), (255, 255, 255),
+]
+
+
+def _draw_box(img: np.ndarray, box: Sequence[float], color, width: int = 2
+              ) -> None:
+    """Draw a normalized (x0, y0, w, h) box outline in-place (uint8 HWC)."""
+    s = img.shape[0]
+    x0 = int(np.clip(box[0] * s, 0, s - 1))
+    y0 = int(np.clip(box[1] * s, 0, s - 1))
+    x1 = int(np.clip((box[0] + box[2]) * s, x0 + 1, s))
+    y1 = int(np.clip((box[1] + box[3]) * s, y0 + 1, s))
+    img[y0:y1, x0:min(x0 + width, s)] = color
+    img[y0:y1, max(x1 - width, 0):x1] = color
+    img[y0:min(y0 + width, s), x0:x1] = color
+    img[max(y1 - width, 0):y1, x0:x1] = color
+
+
+def build_object_images(
+    images: np.ndarray,      # (B, S, S, 3) generated images in [-1, 1]
+    boxes: np.ndarray,       # (B, O, 4) normalized (x0, y0, w, h)
+    labels: np.ndarray,      # (B, O) class ids
+    obj_valid: np.ndarray,   # (B, O) validity mask
+    obj_attn: np.ndarray,    # (B, O, T) object->word attention (fp32)
+    captions: Optional[np.ndarray] = None,  # (B, T) token ids
+    cap_lens: Optional[np.ndarray] = None,
+    ixtoword: Optional[dict] = None,
+    class_names: Optional[Sequence[str]] = None,
+    max_rows: int = 8,
+) -> np.ndarray:
+    """Object-driven-attention counterpart of :func:`build_super_images`.
+
+    The lineage's grid visualizer shows word->region attention; Obj-GAN's
+    second attention path is per-object over words (PAPER §3.3), so each row
+    here is the generated image with every valid object's box outlined in a
+    distinct color, followed by one text strip per object:
+    ``<class>: <top attended word> (<weight>)`` in that object's color.
+    """
+    b = min(images.shape[0], max_rows)
+    o = boxes.shape[1]
+    size = images.shape[1]
+    ixtoword = ixtoword or {}
+    rows = []
+    for i in range(b):
+        img = _to_uint8(images[i]).copy()
+        texts: List[tuple] = []
+        n_words = int(cap_lens[i]) if cap_lens is not None else None
+        for j in range(o):
+            if not obj_valid[i, j]:
+                continue
+            color = _BOX_COLORS[j % len(_BOX_COLORS)]
+            _draw_box(img, boxes[i, j], color)
+            cid = int(labels[i, j])
+            cname = (class_names[cid]
+                     if class_names and 0 <= cid < len(class_names)
+                     else f"class{cid}")
+            att = np.asarray(obj_attn[i, j], np.float32)
+            if n_words is not None:
+                att = att[:n_words] if n_words else att * 0
+            top = int(att.argmax()) if att.size else 0
+            word = (ixtoword.get(int(captions[i, top]), f"#{int(captions[i, top])}")
+                    if captions is not None else f"w{top}")
+            texts.append((f"{cname}: {word} ({float(att[top]) if att.size else 0.0:.2f})",
+                          color))
+        row = [img]
+        for text, color in texts:
+            strip = _text_strip("", size)
+            try:
+                from PIL import Image, ImageDraw
+
+                im = Image.fromarray(strip)
+                ImageDraw.Draw(im).text((2, 2), text, fill=tuple(color))
+                strip = np.asarray(im)
+            except Exception:
+                pass
+            row.append(strip)
+        rows.append(np.concatenate(row, axis=0))
+    # rows have differing heights (variable object counts); pad to tallest
+    hmax = max(r.shape[0] for r in rows)
+    rows = [np.concatenate(
+        [r, np.zeros((hmax - r.shape[0], size, 3), np.uint8)], axis=0)
+        if r.shape[0] < hmax else r for r in rows]
+    return np.concatenate(rows, axis=1)
+
+
 def save_png(path: str, img: np.ndarray) -> None:
     """Write an (H, W, 3) uint8 PNG (PIL if present, else minimal encoder)."""
     img = np.ascontiguousarray(img, np.uint8)

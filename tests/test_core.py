@@ -205,6 +205,35 @@ class TestVisualize:
         # padded word (index 2 >= cap_len) stays blank
         assert grid[16:, 48:].max() == 0
 
+    def test_object_attention_grid(self):
+        """Object-attention diagnostic: valid boxes drawn, invalid skipped,
+        per-object strips labeled with class + top attended word."""
+        from objgan_tpu.utils.visualize import (
+            TEXT_STRIP_HEIGHT, build_object_images,
+        )
+
+        imgs = np.full((2, 32, 32, 3), -1.0, np.float32)  # black canvas
+        boxes = np.zeros((2, 3, 4), np.float32)
+        boxes[0, 0] = [0.25, 0.25, 0.5, 0.5]
+        boxes[0, 1] = [0.0, 0.0, 0.25, 0.25]
+        labels = np.array([[1, 2, 0], [0, 0, 0]])
+        valid = np.array([[True, True, False], [False, False, False]])
+        attn = np.random.uniform(0, 1, (2, 3, 4)).astype(np.float32)
+        attn[0, 0] = [0.1, 0.8, 0.05, 0.05]  # top word = index 1
+        caps = np.array([[7, 9, 3, 4], [7, 9, 3, 4]])
+        grid = build_object_images(
+            imgs, boxes, labels, valid, attn, captions=caps,
+            cap_lens=np.array([4, 4]), ixtoword={9: "dog"},
+            class_names=["bg", "person", "bicycle"],
+        )
+        assert grid.dtype == np.uint8
+        # 2 rows side by side; tallest = image + 2 strips
+        assert grid.shape == (32 + 2 * TEXT_STRIP_HEIGHT, 64, 3)
+        # first image: box outline drawn at (8, 8)
+        assert grid[8, 8].max() > 0
+        # second image has no valid objects: canvas + padding stays black
+        assert grid[:, 32:].max() == 0
+
 
 class TestAugmentation:
     def test_flip_consistency(self, tiny_cfg):
