@@ -267,3 +267,46 @@ class TestCNNEncoder:
         rb, gb = model.apply(restored, x)
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-5)
         np.testing.assert_allclose(np.asarray(ra), np.asarray(rb), atol=1e-4)
+
+
+class TestConvertDamsmCli:
+    def test_text_encoder_pth_to_net_e_checkpoint(self, tiny_cfg, tmp_path):
+        """tools/convert_damsm: a lineage text_encoder.pth becomes an Orbax
+        DamsmTrainState checkpoint whose text params equal the torch ones."""
+        import torch
+
+        from objgan_tpu.core import checkpoint as ckpt
+        from objgan_tpu.tools.convert_damsm import convert
+        from objgan_tpu.train.damsm import DamsmTrainer
+
+        torch.manual_seed(1)
+        emb = torch.nn.Embedding(30, 8)
+        lstm = torch.nn.LSTM(8, 4, batch_first=True, bidirectional=True)
+        sd = {"encoder." + k: v for k, v in emb.state_dict().items()}
+        sd.update({"rnn." + k: v for k, v in lstm.state_dict().items()})
+        pth = str(tmp_path / "text_encoder.pth")
+        torch.save(sd, pth)
+
+        out = str(tmp_path / "net_e")
+        state = convert(tiny_cfg, pth, None, out)
+
+        # dims were taken from the checkpoint, not the cfg
+        got = np.asarray(
+            state.text_params["params"]["embedding"]["embedding"])
+        np.testing.assert_allclose(got, emb.weight.detach().numpy(),
+                                   atol=1e-6)
+        # and the saved checkpoint restores onto a fresh state
+        cfg2 = tiny_cfg.merged({"TEXT": {
+            "VOCAB_SIZE": 30, "GLOVE_DIM": 8, "HIDDEN_DIM": 4,
+            "EMBEDDING_DIM": 8}})
+        from objgan_tpu.data.synthetic import synthetic_batch
+
+        batch = synthetic_batch(cfg2, jax.random.PRNGKey(0), 2)
+        batch["images"] = [batch["images"][-1]]
+        fresh = DamsmTrainer(cfg2).init_state(jax.random.PRNGKey(1), batch)
+        restored = ckpt.restore_latest(ckpt.make_manager(out), fresh)
+        assert restored is not None
+        got2 = np.asarray(
+            restored.text_params["params"]["embedding"]["embedding"])
+        np.testing.assert_allclose(got2, emb.weight.detach().numpy(),
+                                   atol=1e-6)
