@@ -310,3 +310,39 @@ class TestConvertDamsmCli:
             restored.text_params["params"]["embedding"]["embedding"])
         np.testing.assert_allclose(got2, emb.weight.detach().numpy(),
                                    atol=1e-6)
+
+    def test_g_net_pth_to_net_g_checkpoint(self, tiny_cfg, tmp_path):
+        """tools/convert_gan: a lineage netG .pth loads into a GanTrainState
+        checkpoint (partial, report printed), EMA seeded with the weights."""
+        import torch
+
+        from objgan_tpu.core.name_maps import g_net_name_map
+        from objgan_tpu.tools.convert_gan import convert
+        from objgan_tpu.train.gan import GanTrainer
+
+        cfg = tiny_cfg
+        trainer = GanTrainer(cfg)
+        from objgan_tpu.data.synthetic import synthetic_batch
+
+        base = trainer.init_state(
+            jax.random.PRNGKey(0), synthetic_batch(cfg, jax.random.PRNGKey(0), 2))
+        flat = _flat_paths(base.g_params)
+        nm = g_net_name_map(cfg)
+        sd = {t: _lineage_tensor(t, tuple(flat[f].shape))
+              for t, f in nm.items() if f in flat}
+        assert sd, "name map covered nothing in the tiny config"
+        pth = str(tmp_path / "netG.pth")
+        torch.save(sd, pth)
+
+        out = str(tmp_path / "net_g")
+        state = convert(cfg, pth, [], out)
+        got = _flat_paths(state.g_params)
+        ema = _flat_paths(state.ema_g_params)
+        t0, f0 = next((t, f) for t, f in nm.items() if f in flat)
+        from objgan_tpu.core.checkpoint import _to_flax_array
+
+        want = _to_flax_array(t0, sd[t0].numpy(), target=f0)
+        if want.ndim == 4 and want.shape[:2] == (1, 1):
+            want = want.reshape(want.shape[2:])
+        np.testing.assert_allclose(np.asarray(got[f0]), want, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ema[f0]), want, atol=1e-6)
