@@ -25,7 +25,8 @@ def main():
         if args.manifest:
             from gan.main import build_feed
 
-            feed, _, _ = build_feed(cfg, args)
+            # layout eval never looks at pixels; skip decode + pyramid
+            feed, _, _ = build_feed(cfg, args, with_images=False)
         cli.eval_box(cfg, feed, num_batches=args.num_batches,
                      use_beam=cfg.BOX.BEAM_SIZE > 1)
         return

@@ -44,6 +44,10 @@ def main():
     )
 
     cfg = cfg_from_file(args.cfg_file) if args.cfg_file else Config()
+    # eval is always the non-training path: with B_VALIDATION the manifest
+    # split keys off TRAIN.FLAG, so a training cfg would silently score the
+    # TRAIN split (box_generation/sample.py --eval does the same override).
+    cfg = cfg.merged({"TRAIN": {"FLAG": False}})
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
     trainer = GanTrainer(cfg)
     feed, _, _ = build_feed(cfg, args)

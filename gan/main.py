@@ -16,9 +16,11 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def build_feed(cfg, args):
+def build_feed(cfg, args, with_images=True):
     """Host feed from a manifest. Returns
-    ``(feed_or_None, n_records, vocab_or_None)``.
+    ``(feed_or_None, n_records, vocab_or_None)``. ``with_images=False``
+    skips PNG decode + pyramid build for consumers that only need
+    captions/layouts (e.g. Stage-A eval).
 
     ``cfg.B_VALIDATION`` is the train/held-out split switch (the reference's
     behavior of pointing eval at the test split): with it set, training
@@ -46,10 +48,10 @@ def build_feed(cfg, args):
         if getattr(args, "grain", False):
             from objgan_tpu.data.grain_feed import grain_feed
 
-            return grain_feed(cfg, records, vocab,
-                              seed=cfg.RNG_SEED), len(records), vocab
-        return iter(CocoFeed(cfg, records, vocab,
-                             seed=cfg.RNG_SEED)), len(records), vocab
+            return grain_feed(cfg, records, vocab, seed=cfg.RNG_SEED,
+                              with_images=with_images), len(records), vocab
+        return iter(CocoFeed(cfg, records, vocab, seed=cfg.RNG_SEED,
+                             with_images=with_images)), len(records), vocab
     return None, 0, None
 
 
@@ -76,8 +78,11 @@ def main():
         cfg = cfg.replace(DATA_DIR=args.data_dir)
 
     feed, n_records, vocab = build_feed(cfg, args)
-    cfg, max_steps = cli.apply_epoch_schedule(cfg, n_records, args.max_steps)
     if cfg.TRAIN.FLAG:
+        # epoch accounting is a training-loop concept; sample_gan uses
+        # --num_batches and would only print a misleading schedule line
+        cfg, max_steps = cli.apply_epoch_schedule(cfg, n_records,
+                                                  args.max_steps)
         cli.train_gan(cfg, feed, max_steps=max_steps,
                       ixtoword=vocab.ixtoword if vocab else None)
     else:

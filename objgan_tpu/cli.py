@@ -101,6 +101,13 @@ def _run_loop(cfg, stage, trainer_state, step_fn, feed, writer, manager,
     """
     maybe_initialize_distributed()
     mesh = make_mesh()
+    n_data = mesh.shape["data"]
+    if cfg.TRAIN.BATCH_SIZE % n_data:
+        raise ValueError(
+            f"TRAIN.BATCH_SIZE={cfg.TRAIN.BATCH_SIZE} is not divisible by "
+            f"the data-parallel mesh axis ({n_data} devices); the batch is "
+            f"sharded over devices, so raise BATCH_SIZE to a multiple of "
+            f"{n_data} (per-device batch = BATCH_SIZE / {n_data})")
     state = replicate(mesh, trainer_state)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
     spe = max(1, cfg.TRAIN.STEPS_PER_EXECUTION)

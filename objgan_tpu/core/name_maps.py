@@ -237,20 +237,21 @@ def is_batchnorm_param(torch_name: str, shapes: Mapping[str, Tuple[int, ...]]
 
 def split_convertible(
     state_dict: Mapping, name_map: Mapping[str, str]
-) -> Tuple[Dict, List[str]]:
-    """Partition a lineage state dict into (mapped entries, skipped names).
+) -> Tuple[Dict, List[str], List[str]]:
+    """Partition a lineage state dict into
+    ``(mapped entries, skipped BatchNorm names, unmapped names)``.
 
-    Skipped = BatchNorm parameters (GroupNorm divergence — documented at
-    models/common.py:gn) and any name absent from ``name_map``. The caller
-    decides whether unmapped non-BN leftovers are an error.
+    BatchNorm skips are expected (GroupNorm divergence — documented at
+    models/common.py:gn); the caller decides whether the unmapped non-BN
+    leftovers are an error.
     """
     shapes = {k: tuple(getattr(v, "shape", ())) for k, v in state_dict.items()}
-    mapped, skipped = {}, []
+    mapped, skipped_bn, unmapped = {}, [], []
     for name, value in state_dict.items():
         if name in name_map:
             mapped[name] = value
         elif is_batchnorm_param(name, shapes):
-            skipped.append(name)
+            skipped_bn.append(name)
         else:
-            skipped.append(name)
-    return mapped, skipped
+            unmapped.append(name)
+    return mapped, skipped_bn, unmapped

@@ -30,8 +30,11 @@ class FusedGroupNorm(nn.Module):
                            (self.features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
-        return group_norm_op(x, scale, bias, self.num_groups, self.eps,
-                             self.use_glu)
+        y = group_norm_op(x, scale, bias, self.num_groups, self.eps,
+                          self.use_glu)
+        # nn.GroupNorm(dtype=d) parity: the output dtype is the module's,
+        # not the input's (group_norm_op returns x.dtype).
+        return y if self.dtype is None else y.astype(self.dtype)
 
 
 def gn(features: int, dtype: Any = None, name: str | None = None):

@@ -203,6 +203,12 @@ def _pallas_group_norm(x3, scale, bias, num_groups, eps, use_glu):
     b, n, c = x3.shape
     out_half = c // 2 if use_glu else c
     fold = _fold_factor(n, c, out_half)
+    if not fold:
+        raise ValueError(
+            f"no admissible lane fold for shape {x3.shape}: need a "
+            f"power-of-two fold with C*fold and out_C*fold multiples of "
+            f"the 128-lane tile and N divisible by fold*{_CHUNKS} "
+            f"(production dispatch guards this via _pallas_eligible)")
     n2, c2 = n // fold, c * fold
     out_c2 = out_half * fold
     chunks = _CHUNKS

@@ -47,10 +47,11 @@ def attention_overlay(
 TEXT_STRIP_HEIGHT = 16
 
 
-def _text_strip(text: str, width: int, height: int = TEXT_STRIP_HEIGHT
-                ) -> np.ndarray:
-    """(height, width, 3) uint8 black strip with ``text`` rendered in white
-    (PIL's built-in bitmap font; blank strip if PIL is unavailable)."""
+def _text_strip(text: str, width: int, height: int = TEXT_STRIP_HEIGHT,
+                fill=(255, 255, 255)) -> np.ndarray:
+    """(height, width, 3) uint8 black strip with ``text`` rendered in
+    ``fill`` (PIL's built-in bitmap font; blank strip if PIL is
+    unavailable)."""
     strip = np.zeros((height, width, 3), np.uint8)
     if not text:
         return strip
@@ -58,7 +59,7 @@ def _text_strip(text: str, width: int, height: int = TEXT_STRIP_HEIGHT
         from PIL import Image, ImageDraw
 
         im = Image.fromarray(strip)
-        ImageDraw.Draw(im).text((2, 2), text, fill=(255, 255, 255))
+        ImageDraw.Draw(im).text((2, 2), text, fill=tuple(fill))
         return np.asarray(im)
     except Exception:
         return strip
@@ -176,16 +177,7 @@ def build_object_images(
                           color))
         row = [img]
         for text, color in texts:
-            strip = _text_strip("", size)
-            try:
-                from PIL import Image, ImageDraw
-
-                im = Image.fromarray(strip)
-                ImageDraw.Draw(im).text((2, 2), text, fill=tuple(color))
-                strip = np.asarray(im)
-            except Exception:
-                pass
-            row.append(strip)
+            row.append(_text_strip(text, size, fill=color))
         rows.append(np.concatenate(row, axis=0))
     # rows have differing heights (variable object counts); pad to tallest
     hmax = max(r.shape[0] for r in rows)

@@ -54,6 +54,11 @@ def main():
         vocab = Vocab.build(c for r in records for c in r["captions"])
     else:
         vocab = Vocab.build(captions)
+    if len(vocab) > cfg.TEXT.VOCAB_SIZE:
+        raise SystemExit(
+            f"vocabulary has {len(vocab)} words but cfg.TEXT.VOCAB_SIZE is "
+            f"{cfg.TEXT.VOCAB_SIZE}; raise it (nn.Embed would silently "
+            f"clamp out-of-range token ids) — same guard as CocoFeed")
     caps, lens = vocab.encode_batch(captions, cfg.TEXT.WORDS_NUM)
 
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
