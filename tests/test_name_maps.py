@@ -346,3 +346,42 @@ class TestConvertDamsmCli:
             want = want.reshape(want.shape[2:])
         np.testing.assert_allclose(np.asarray(got[f0]), want, atol=1e-6)
         np.testing.assert_allclose(np.asarray(ema[f0]), want, atol=1e-6)
+
+    def test_d_net_pths_to_checkpoint(self, tiny_cfg, tmp_path):
+        """tools/convert_gan --d_pth per scale loads each DNet partially."""
+        import torch
+
+        from objgan_tpu.core.name_maps import d_net_name_map
+        from objgan_tpu.data.synthetic import synthetic_batch
+        from objgan_tpu.tools.convert_gan import convert
+        from objgan_tpu.train.gan import GanTrainer
+
+        cfg = tiny_cfg
+        trainer = GanTrainer(cfg)
+        base = trainer.init_state(
+            jax.random.PRNGKey(0),
+            synthetic_batch(cfg, jax.random.PRNGKey(0), 2))
+        pths = []
+        sizes = cfg.branch_sizes
+        for params, size in zip(base.d_params, sizes):
+            flat = _flat_paths(params)
+            nm = d_net_name_map(cfg, size)
+            sd = {t: _lineage_tensor(t, tuple(flat[f].shape))
+                  for t, f in nm.items() if f in flat}
+            assert sd
+            p = str(tmp_path / f"netD{size}.pth")
+            torch.save(sd, p)
+            pths.append(p)
+
+        state = convert(cfg, None, pths, str(tmp_path / "net_g"))
+        for params, size, pth in zip(state.d_params, sizes, pths):
+            flat = _flat_paths(params)
+            nm = d_net_name_map(cfg, size)
+            t0, f0 = next((t, f) for t, f in nm.items() if f in flat)
+            sd = torch.load(pth, weights_only=False)
+            from objgan_tpu.core.checkpoint import _to_flax_array
+
+            want = _to_flax_array(t0, sd[t0].numpy(), target=f0)
+            if want.ndim == 4 and want.shape[:2] == (1, 1):
+                want = want.reshape(want.shape[2:])
+            np.testing.assert_allclose(np.asarray(flat[f0]), want, atol=1e-6)
