@@ -120,6 +120,11 @@ def main():
     rp_tag = "" if encoders_trained else (
         " [untrained encoders — meaningless until DAMSM is pretrained]")
     print(f"eval over {n} samples [{mode}]")
+    if n < 2048:
+        print(f"NOTE: FID over {n} samples is a relative/debug number — "
+              f"the covariance estimate needs thousands of samples "
+              f"(standard protocol: 5k-50k) for publication-comparable "
+              f"values")
     print(f"FID: {fid:.3f}")
     print(f"IS: {is_m:.3f} +/- {is_s:.3f}{is_tag}")
     print(f"R-precision: {rp:.3f}{rp_tag}")
