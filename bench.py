@@ -234,6 +234,41 @@ def main():
             batch_size / dt64 / max(n_chips, 1), 2
         )
 
+        # composed caption -> layout -> mask -> image pipeline (all three
+        # stages in ONE program; device-loop like the headline)
+        from objgan_tpu.pipeline_e2e import ObjGanPipeline
+
+        pipe = ObjGanPipeline(cfg)
+        with jax.default_device(cpu):
+            pstates = pipe.load_states(rng, batch)
+        pstates = jax.device_put(pstates, dev)
+        caps, lens = batch["captions"], batch["cap_lens"]
+
+        @jax.jit
+        def pipe_loop(pstates, caps, lens, key):
+            def body(i, carry):
+                acc, key = carry
+                key, sub = jax.random.split(key)
+                img = pipe.generate(pstates, caps, lens, sub)["images"][-1]
+                return acc + jnp.sum(img), key
+
+            acc, _ = jax.lax.fori_loop(0, n_loop, body,
+                                       (jnp.float32(0.0), key))
+            return acc
+
+        jax.block_until_ready(pipe_loop(pstates, caps, lens, keys[500]))
+        trials = []
+        for t in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(
+                pipe_loop(pstates, caps, lens, keys[501 + t]))
+            trials.append((time.perf_counter() - t0) / n_loop)
+        dt_pipe = min(trials)
+        extras["pipeline_e2e_ms"] = round(dt_pipe * 1e3, 3)
+        extras["pipeline_e2e_images_per_sec_per_chip"] = round(
+            batch_size / dt_pipe / max(n_chips, 1), 2
+        )
+
     extras["batch_size"] = batch_size
     extras["n_chips"] = n_chips
     extras["backend"] = jax.default_backend()
