@@ -452,6 +452,40 @@ def eval_box(cfg: Config, data_iter: Optional[Iterator] = None,
     return metrics
 
 
+def eval_shape(cfg: Config, data_iter: Optional[Iterator] = None,
+               num_batches: int = 10) -> dict:
+    """Stage-B evaluation: held-out mask IoU / pixel accuracy / area
+    calibration of the shape generator (utils/shape_eval.py). Pair with
+    ``B_VALIDATION: true`` so the manifest feed serves the held-out split."""
+    import itertools as _it
+
+    from objgan_tpu.train.shape import ShapeTrainer
+    from objgan_tpu.utils import shape_eval
+
+    trainer = ShapeTrainer(cfg)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    feed = _feed(cfg, data_iter, rng, with_images=False)
+    first = next(feed)
+    feed = itertools.chain([first], feed)
+    with _host_cpu():
+        state = trainer.init_state(rng, first)
+        manager = ckpt.make_manager(os.path.join(_out_dir(cfg, "shape"),
+                                                 "ckpt"))
+        restored = ckpt.restore_latest(manager, state)
+    if restored is not None:
+        state = restored
+        print(f"evaluating shape checkpoint at step {int(state.step)}")
+    else:
+        print("WARNING: no shape checkpoint found — evaluating an untrained "
+              "model")
+    state = jax.device_put(state, jax.devices()[0])
+    batches = list(_it.islice(feed, num_batches))
+    metrics = shape_eval.heldout_mask_metrics(trainer, state, batches, rng)
+    for k, v in sorted(metrics.items()):
+        print(f"{k}: {v:.4f}")
+    return metrics
+
+
 def train_shape(cfg: Config, data_iter: Optional[Iterator] = None,
                 max_steps: int = 10**9) -> None:
     from objgan_tpu.train.shape import ShapeTrainer

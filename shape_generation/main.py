@@ -15,12 +15,25 @@ def main():
     parser.add_argument("--manifest", default=None)
     parser.add_argument("--captions_pickle", default=None)
     parser.add_argument("--max_steps", type=int, default=10**9)
+    parser.add_argument("--eval", action="store_true",
+                        help="held-out mask IoU/accuracy instead of training")
+    parser.add_argument("--num_batches", type=int, default=10)
     args = parser.parse_args()
 
     from objgan_tpu import cli
     from objgan_tpu.core.config import Config, cfg_from_file
 
     cfg = cfg_from_file(args.cfg_file) if args.cfg_file else Config()
+    if args.eval:
+        # eval = non-training path so B_VALIDATION serves the held-out split
+        cfg = cfg.merged({"TRAIN": {"FLAG": False}})
+        feed = None
+        if args.manifest:
+            from gan.main import build_feed
+
+            feed, _, _ = build_feed(cfg, args, with_images=False)
+        cli.eval_shape(cfg, feed, num_batches=args.num_batches)
+        return
     feed, n_records = None, 0
     if args.manifest:
         from gan.main import build_feed
