@@ -29,7 +29,22 @@ def main():
     ap.add_argument("--num_batches", type=int, default=10)
     ap.add_argument("--strict", action="store_true",
                     help="full Inception-v3 activations (standard FID/IS)")
+    ap.add_argument("--inception_pth", default=None,
+                    help="torchvision inception_v3 .pth state dict "
+                         "(required for --strict; converted on the fly)")
+    ap.add_argument("--force", action="store_true",
+                    help="allow --strict without weights (numbers are "
+                         "meaningless — random Inception features)")
     args = ap.parse_args()
+
+    if args.strict and not args.inception_pth and not args.force:
+        print("ERROR: --strict without --inception_pth computes FID/IS from "
+              "a RANDOMLY INITIALIZED Inception-v3 — the numbers look "
+              "publication-formatted but are meaningless. Supply the "
+              "torchvision inception_v3 weights via --inception_pth, or "
+              "pass --force if you really want random features "
+              "(VERDICT r2 weak #7 guardrail).", file=sys.stderr)
+        sys.exit(2)
 
     import jax
 
@@ -85,8 +100,20 @@ def main():
     sample_jit = trainer.jitted_sample()
 
     if args.strict:
-        extractor, _ = make_inception_extractor()
-        mode = "strict-inception (untrained unless weights converted)"
+        if args.inception_pth:
+            from objgan_tpu.models.inception_v3 import (
+                load_torchvision_checkpoint,
+            )
+            from objgan_tpu.tools.convert_damsm import _load_state_dict
+
+            _, init_params = make_inception_extractor()
+            params = load_torchvision_checkpoint(
+                init_params, _load_state_dict(args.inception_pth))
+            extractor, _ = make_inception_extractor(params=params)
+            mode = f"strict-inception (weights: {args.inception_pth})"
+        else:
+            extractor, _ = make_inception_extractor()
+            mode = "strict-inception (RANDOM WEIGHTS — --force)"
     else:
         extractor, _ = make_lite_extractor(cfg, params=None)
         mode = "lite (framework encoder)"

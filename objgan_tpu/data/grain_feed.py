@@ -69,10 +69,12 @@ def grain_feed(
 
     from objgan_tpu.data.pipeline import validate_labels
 
+    records = list(records)  # materialize once: a one-shot iterator would be
+    # exhausted by validate_labels and silently yield an empty dataset
     validate_labels(cfg, records)
     transform = _RecordTransform(cfg, vocab, with_images, augment)
     ds = (
-        gp.MapDataset.source(list(records))
+        gp.MapDataset.source(records)
         .seed(seed)
         .shuffle()
         .map_with_index(

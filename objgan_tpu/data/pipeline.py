@@ -135,8 +135,10 @@ class CocoFeed:
         """Fast pyramid for on-disk images: PIL's C box-filter resize is
         ~6x the numpy strided-mean in ``_resize_area`` (it dominated the
         host feed at 279 ms/batch-16), with the same area-average
-        semantics. Each scale resizes from the decoded original."""
-        if not rec.get("image_file"):
+        semantics. Each scale resizes from the decoded original. An inline
+        ``rec['image']`` keeps precedence over ``image_file`` (documented
+        _load_image order): return None so the slow path serves it."""
+        if rec.get("image") is not None or not rec.get("image_file"):
             return None
         from PIL import Image
 
@@ -167,6 +169,12 @@ class CocoFeed:
         s = cfg.OBJ.SHAPE_SIZE
         cap = rec["captions"][rng.integers(len(rec["captions"]))]
         caps, lens = self.vocab.encode(cap, cfg.TEXT.WORDS_NUM)
+        # word dropout: give the <unk> embedding training signal (tokenizer
+        # module doc) — replace real tokens with <unk> at a small rate
+        p_drop = cfg.TEXT.WORD_DROPOUT
+        if self.augment and p_drop > 0 and self.vocab.unk is not None:
+            drop = (rng.random(lens) < p_drop)
+            caps[:lens][drop] = self.vocab.unk
 
         n = min(len(rec["labels"]), o)
         labels = np.zeros((o,), np.int32)
@@ -266,10 +274,14 @@ def validate_labels(cfg: Config, records: Sequence[Dict]) -> None:
     NaN silently, which is much harder to trace back here."""
     hi = max((int(max(r["labels"])) for r in records if len(r["labels"])),
              default=0)
-    if hi >= cfg.OBJ.NUM_CLASSES:
+    lo = min((int(min(r["labels"])) for r in records if len(r["labels"])),
+             default=0)
+    if hi >= cfg.OBJ.NUM_CLASSES or lo < 0:
         raise ValueError(
-            f"dataset has class id {hi} but cfg.OBJ.NUM_CLASSES is "
-            f"{cfg.OBJ.NUM_CLASSES}; labels must lie in [0, NUM_CLASSES)"
+            f"dataset has class ids in [{lo}, {hi}] but cfg.OBJ.NUM_CLASSES "
+            f"is {cfg.OBJ.NUM_CLASSES}; labels must lie in [0, NUM_CLASSES) "
+            f"(negative ids — e.g. a -1 padding convention — wrap via "
+            f"label_table[-1] downstream)"
         )
 
 

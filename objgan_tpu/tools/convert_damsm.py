@@ -33,7 +33,16 @@ import numpy as np
 def _load_state_dict(path: str) -> Dict[str, "np.ndarray"]:
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    # plain state dicts load under weights_only=True (no arbitrary-pickle
+    # code execution); downloaded lineage .pth files are untrusted, so only
+    # fall back to the unsafe loader with a loud warning
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        print(f"WARNING: {path} is not a plain tensor state dict; falling "
+              f"back to weights_only=False (executes pickle code — only do "
+              f"this for files you trust)", flush=True)
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     for key in ("state_dict", "model"):  # common wrapper layouts
         if isinstance(sd, dict) and key in sd and isinstance(sd[key], dict):
             sd = sd[key]

@@ -66,6 +66,34 @@ class TestTokenizer:
         assert caps.shape == (2, 4)
         assert list(lens) == [1, 2]
 
+    def test_oov_maps_to_unk(self):
+        v = Vocab.build(["a red ball"])
+        assert v.unk == 1 and v.ixtoword[1] == "<unk>"
+        ids, n = v.encode("a cerulean ball", 6)
+        assert n == 3
+        assert list(ids[:3]) == [v.wordtoix["a"], v.unk, v.wordtoix["ball"]]
+
+    def test_mostly_oov_caption_warns(self):
+        import warnings as _w
+
+        v = Vocab.build(["a red ball"])
+        with _w.catch_warnings(record=True) as got:
+            _w.simplefilter("always")
+            v.encode("zork quux flibber", 6)
+        assert any("out-of-vocabulary" in str(w.message) for w in got)
+
+    def test_no_unk_vocab_drops_with_warning(self):
+        import warnings as _w
+
+        # reference pickles predate <unk>: historical drop behavior
+        v = Vocab({"<end>": 0, "a": 1, "ball": 2})
+        assert v.unk is None
+        with _w.catch_warnings(record=True) as got:
+            _w.simplefilter("always")
+            ids, n = v.encode("a cerulean ball", 6)
+        assert n == 2 and list(ids[:2]) == [1, 2]
+        assert any("DROPPED" in str(w.message) for w in got)
+
 
 class TestGlove:
     def test_label_table_shape_and_background_zero(self):
@@ -131,6 +159,47 @@ class TestCocoFeed:
         # padded objects have empty masks
         inv = batch["obj_valid"] == 0
         assert batch["shapes"][inv].sum() == 0.0
+
+    def test_negative_labels_rejected(self, tiny_cfg):
+        recs = self._records()
+        recs[0]["labels"][0] = -1
+        vocab = Vocab.build(["a cat number another"])
+        with pytest.raises(ValueError, match="-1"):
+            CocoFeed(tiny_cfg, recs, vocab)
+
+    def test_word_dropout_hits_unk(self, tiny_cfg):
+        cfg = tiny_cfg.merged({"TEXT": {"WORD_DROPOUT": 1.0}})
+        # digits appear in the record captions — include them so the only
+        # <unk> source is dropout
+        vocab = Vocab.build(["a cat number another 0 1 2 3"])
+        feed = CocoFeed(cfg, self._records(), vocab, augment=True)
+        batch = next(iter(feed))
+        lens = batch["cap_lens"]
+        for i in range(len(lens)):
+            assert (batch["captions"][i, :lens[i]] == vocab.unk).all()
+        # and augment=False never drops
+        feed2 = CocoFeed(cfg, self._records(), vocab, augment=False)
+        b2 = next(iter(feed2))
+        assert not (b2["captions"] == vocab.unk).any()
+
+    def test_inline_image_precedence_over_file(self, tiny_cfg, tmp_path):
+        # a record carrying BOTH 'image' and 'image_file' must serve the
+        # inline array (documented _load_image order) — the PIL fast path
+        # must not silently win (ADVICE r2)
+        from PIL import Image
+
+        recs = self._records(2)
+        # white on-disk file vs black inline image: output must be black
+        Image.new("RGB", (64, 64), (255, 255, 255)).save(
+            str(tmp_path / "w.png"))
+        for r in recs:
+            r["image"] = np.zeros((64, 64, 3), np.uint8)
+            r["image_file"] = "w.png"
+        vocab = Vocab.build(["a cat number another"])
+        feed = CocoFeed(tiny_cfg, recs, vocab, image_root=str(tmp_path),
+                        augment=False)
+        batch = next(iter(feed))
+        assert batch["images"][-1].max() <= -0.99  # black, i.e. inline won
 
 
 class TestCheckpoint:

@@ -43,3 +43,20 @@ def test_r_precision_perfect_and_random():
     assert r_precision(feats, feats, n_mismatched=20) == 1.0
     other = rng.normal(size=(50, 16))
     assert r_precision(other, feats, n_mismatched=20) < 0.5
+
+
+def test_strict_eval_refuses_without_weights():
+    """gan/eval.py --strict with no --inception_pth must exit non-zero
+    before computing anything (random-Inception FID looks real but is
+    meaningless — VERDICT r2 weak #7)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "gan", "eval.py"), "--strict"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 2
+    assert "inception_pth" in r.stderr
