@@ -27,8 +27,7 @@ def main():
 
             # layout eval never looks at pixels; skip decode + pyramid
             feed, _, _ = build_feed(cfg, args, with_images=False)
-        cli.eval_box(cfg, feed, num_batches=args.num_batches,
-                     use_beam=cfg.BOX.BEAM_SIZE > 1)
+        cli.eval_box(cfg, feed, num_batches=args.num_batches)
         return
     captions = args.caption or ["a person riding a horse on a beach"]
     vocab = (

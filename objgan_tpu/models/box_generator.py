@@ -282,12 +282,20 @@ class BoxGenerator(nn.Module):
         """Beam search over label sequences (the captioning lineage's
         ``CaptionModel`` beam decode), one jittable scan.
 
-        Beams rank by accumulated label log-probability; boxes come from the
-        mixture mean of each kept beam's step (deterministic given the beam).
-        Returns the best beam per example, same contract as :meth:`sample`.
+        Beams rank by GNMT length-normalized label log-probability
+        (``score / ((5+n)/6)^BEAM_LENGTH_NORM`` with n = emitted tokens incl.
+        STOP): dead beams emit STOP at zero cost, so raw-sum ranking would
+        systematically favor fewer objects than temperature sampling. Boxes
+        come from the mixture mean of each kept beam's step (deterministic
+        given the beam). Returns the best beam per example, same contract as
+        :meth:`sample`; ``beam_scores`` are the normalized ranking scores.
         """
         c = self.cfg
         k = beam_size or c.BOX.BEAM_SIZE
+        alpha = c.BOX.BEAM_LENGTH_NORM
+
+        def lp(n):  # GNMT length penalty
+            return ((5.0 + n) / 6.0) ** alpha
         b = captions.shape[0]
         n_cls = c.OBJ.NUM_CLASSES
         enc_states, mean_state, enc_valid = self.encoder(captions, cap_lens)
@@ -312,7 +320,8 @@ class BoxGenerator(nn.Module):
             jnp.full((b * k,), STOP, jnp.int32),  # prev labels
             jnp.zeros((b * k, 4), jnp.float32),  # prev boxes
             jnp.ones((b * k,), jnp.float32),  # alive
-            scores0,  # (B, K)
+            scores0,  # (B, K) raw accumulated log-prob
+            jnp.zeros((b * k,), jnp.float32),  # emitted tokens incl. STOP
             # histories ride in the carry and are re-gathered on every beam
             # reordering (backtracking-free beam search)
             jnp.zeros((b * k, t_max), jnp.int32),  # hist labels
@@ -329,7 +338,7 @@ class BoxGenerator(nn.Module):
             ).reshape(x.shape)
 
         def body(mdl, carry, _):
-            (state, prev_lab, prev_box, alive, scores,
+            (state, prev_lab, prev_box, alive, scores, n_tok,
              hist_lab, hist_box, hist_valid, step_i) = carry
             state, logits, h_lang, _ = mdl.decoder.step(
                 state, prev_lab, prev_box, enc_states_e, mean_state_e,
@@ -339,14 +348,20 @@ class BoxGenerator(nn.Module):
             # dead beams can only emit STOP at zero cost
             dead_row = jnp.full((n_cls,), -1e9).at[STOP].set(0.0)
             logp = jnp.where(alive[:, None] > 0, logp, dead_row[None])
-            cand = scores.reshape(b * k, 1) + logp  # (B*K, C)
+            cand = scores.reshape(b * k, 1) + logp  # (B*K, C) raw
+            # rank by length-normalized score (every candidate from a live
+            # source beam has length n_tok+1 this step; dead beams keep n)
+            cand_n = (n_tok + alive)[:, None]  # (B*K, 1)
+            ranked = (cand / lp(cand_n)).reshape(b, k * n_cls)
             cand = cand.reshape(b, k * n_cls)
-            top_scores, top_idx = jax.lax.top_k(cand, k)  # (B, K)
+            _, top_idx = jax.lax.top_k(ranked, k)  # (B, K)
+            top_scores = jnp.take_along_axis(cand, top_idx, axis=1)  # raw
             src_beam = top_idx // n_cls  # (B, K)
             new_lab = (top_idx % n_cls).reshape(b * k).astype(jnp.int32)
             # reindex every per-beam tensor to the chosen source beams
             state = jax.tree.map(lambda t: gather_beams(t, src_beam), state)
             alive = gather_beams(alive, src_beam)
+            n_tok = gather_beams(n_tok, src_beam) + alive
             h_lang = gather_beams(h_lang, src_beam)
             hist_lab = gather_beams(hist_lab, src_beam)
             hist_box = gather_beams(hist_box, src_beam)
@@ -362,7 +377,7 @@ class BoxGenerator(nn.Module):
             hist_box = hist_box.at[:, step_i].set(box)
             hist_valid = hist_valid.at[:, step_i].set(valid)
             return (
-                (state, new_lab, box, new_alive, top_scores,
+                (state, new_lab, box, new_alive, top_scores, n_tok,
                  hist_lab, hist_box, hist_valid, step_i + 1),
                 (),
             )
@@ -375,11 +390,12 @@ class BoxGenerator(nn.Module):
             out_axes=0,
             length=t_max,
         )
-        (_, _, _, _, final_scores, hist_lab, hist_box, hist_valid, _), _ = (
-            scan(self, init, None)
-        )
-        # pick the best beam per example
-        best = jnp.argmax(final_scores, axis=-1)  # (B,)
+        (_, _, _, _, final_scores, final_n,
+         hist_lab, hist_box, hist_valid, _), _ = scan(self, init, None)
+        # pick the best beam per example by normalized score (identical to
+        # the last step's ranking, so these come out sorted descending)
+        final_norm = final_scores / lp(final_n.reshape(b, k))
+        best = jnp.argmax(final_norm, axis=-1)  # (B,)
 
         def pick(x):  # (B*K, T, ...) -> (B, T, ...)
             xs = x.reshape(b, k, *x.shape[1:])
@@ -390,7 +406,7 @@ class BoxGenerator(nn.Module):
             "labels": pick(hist_lab),
             "boxes": pick(hist_box),
             "obj_valid": pick(hist_valid),
-            "beam_scores": final_scores,
+            "beam_scores": final_norm,
         }
 
     def __call__(self, captions, cap_lens, labels, boxes, obj_valid,
