@@ -28,9 +28,10 @@ def main():
     cfg = cfg_from_file(args.cfg_file) if args.cfg_file else Config()
     from gan.main import build_feed
 
-    feed, n_records, _ = build_feed(cfg, args)
+    feed, n_records, vocab = build_feed(cfg, args)
     cfg, max_steps = cli.apply_epoch_schedule(cfg, n_records, args.max_steps)
-    cli.pretrain_damsm(cfg, feed, max_steps=max_steps)
+    cli.pretrain_damsm(cfg, feed, max_steps=max_steps,
+                       ixtoword=vocab.ixtoword if vocab else None)
 
 
 if __name__ == "__main__":

@@ -331,8 +331,16 @@ def _finest_scale_only(feed):
 
 
 def pretrain_damsm(cfg: Config, data_iter: Optional[Iterator] = None,
-                   max_steps: int = 10**9) -> None:
+                   max_steps: int = 10**9,
+                   ixtoword: Optional[dict] = None) -> None:
+    """DAMSM encoder pretraining. Periodically renders the word->region
+    attention grids over the first batch (the lineage dumps these during
+    pretraining — they are THE debugging tool for encoder quality;
+    SURVEY.md §2.3 visualization row / VERDICT r2 missing #4). ``ixtoword``
+    renders the attended words under each overlay."""
+    from objgan_tpu.losses.damsm_loss import words_loss
     from objgan_tpu.train.damsm import DamsmTrainer
+    from objgan_tpu.utils.visualize import build_super_images, save_png
 
     out = _out_dir(cfg, "damsm")
     trainer = DamsmTrainer(cfg)
@@ -347,8 +355,38 @@ def pretrain_damsm(cfg: Config, data_iter: Optional[Iterator] = None,
     if restored is not None:
         state = restored
     writer = MetricsWriter(out, "damsm")
+
+    smooth = cfg.TRAIN.SMOOTH
+
+    @jax.jit
+    def _attn_diag(state_now, batch):
+        """Per-pair word->region attention for matched (caption i, image i):
+        the (B, B, T, L) tensor words_loss already computes, diagonal only."""
+        words, _ = trainer.text_enc.apply(
+            state_now.text_params, batch["captions"], batch["cap_lens"])
+        regions, _ = trainer.img_enc.apply(
+            state_now.img_params, batch["images"][-1])
+        _, _, attns = words_loss(
+            regions, words, batch["cap_lens"], batch["class_ids"],
+            smooth.GAMMA1, smooth.GAMMA2, smooth.GAMMA3)
+        idx = jax.numpy.arange(attns.shape[0])
+        return attns[idx, idx]  # (B, T, L)
+
+    def snapshot(state_now, step):
+        diag = np.asarray(_attn_diag(state_now, first))  # (B, T, L)
+        b, t, l = diag.shape
+        r = int(round(l ** 0.5))
+        maps = diag.reshape(b, t, r, r).transpose(0, 2, 3, 1)  # (B,h,w,T)
+        grid = build_super_images(
+            np.asarray(first["images"][-1]), maps,
+            captions=np.asarray(first["captions"]),
+            cap_lens=np.asarray(first["cap_lens"]),
+            ixtoword=ixtoword,
+        )
+        save_png(os.path.join(out, f"attn_step{step}.png"), grid)
+
     _run_loop(cfg, "damsm", state, trainer.jitted_train_step(),
-              feed, writer, manager, max_steps,
+              feed, writer, manager, max_steps, snapshot_hook=snapshot,
               multi_step_fn=trainer.jitted_multi_step())
 
 

