@@ -132,6 +132,11 @@ class ObjConfig:
     ROI_SIZE: int = 7           # ROI-align output resolution (Fast R-CNN standard)
     LABEL_DIM: int = 300        # GloVe label embedding dim
     GMM_COMPONENTS: int = 20    # mixture components for the box distribution
+    # box-mixture covariance: "diag" (independent 4-D) or "corr"
+    # (sketch-RNN-style correlated (x,y)/(w,h) bivariate blocks; ops/gmm.py
+    # module doc). Held-out ablation on the shakedown manifest decides the
+    # default (BASELINE.md round-3 GMM row).
+    GMM_MODE: str = "diag"
     SHAPE_SIZE: int = 64        # per-object mask resolution from stage B
 
 

@@ -87,7 +87,8 @@ class BoxDecoder(nn.Module):
         self.attention = AdditiveAttention(c.BOX.ATT_HID_SIZE, name="attention")
         self.label_head = nn.Dense(c.OBJ.NUM_CLASSES, name="label_head")
         self.box_head = nn.Dense(
-            gmm.param_size(c.OBJ.GMM_COMPONENTS), name="box_head"
+            gmm.param_size(c.OBJ.GMM_COMPONENTS, c.OBJ.GMM_MODE),
+            name="box_head"
         )
 
     def init_state(self, batch: int) -> DecoderState:
@@ -198,7 +199,8 @@ class BoxGenerator(nn.Module):
                 pred_lab = jnp.argmax(logits, axis=-1).astype(gt_lab.dtype)
                 pred_params = mdl.decoder.box_params(h_lang, pred_lab)
                 pred_box = jnp.clip(
-                    gmm.mean(pred_params, gmm_k), 0.0, 1.0
+                    gmm.mean(pred_params, gmm_k, mdl.cfg.OBJ.GMM_MODE),
+                    0.0, 1.0
                 ).astype(gt_box.dtype)
             else:
                 pred_lab, pred_box = prev_pred_lab, prev_pred_box
@@ -254,7 +256,8 @@ class BoxGenerator(nn.Module):
             k1, k2 = jax.random.split(step_rng)
             lab = jax.random.categorical(k1, logits / jnp.maximum(temp, 1e-6))
             params = mdl.decoder.box_params(h_lang, lab)
-            box = gmm.sample(params, k2, c.OBJ.GMM_COMPONENTS, gtemp)
+            box = gmm.sample(params, k2, c.OBJ.GMM_COMPONENTS, gtemp,
+                             mode=c.OBJ.GMM_MODE)
             box = jnp.clip(box, 0.0, 1.0)
             lab = jnp.where(alive > 0, lab, STOP).astype(jnp.int32)
             valid = alive * (lab != STOP)
@@ -367,7 +370,8 @@ class BoxGenerator(nn.Module):
             hist_box = gather_beams(hist_box, src_beam)
             hist_valid = gather_beams(hist_valid, src_beam)
             params = mdl.decoder.box_params(h_lang, new_lab)
-            box = gmm.mean(params, c.OBJ.GMM_COMPONENTS)
+            box = gmm.mean(params, c.OBJ.GMM_COMPONENTS,
+                           mode=c.OBJ.GMM_MODE)
             box = jnp.clip(box, 0.0, 1.0)
             new_lab = jnp.where(alive > 0, new_lab, STOP)
             valid = alive * (new_lab != STOP)
@@ -416,7 +420,8 @@ class BoxGenerator(nn.Module):
 
 
 def box_loss(outputs: Dict[str, jnp.ndarray], labels, boxes, obj_valid,
-             num_components: int) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+             num_components: int,
+             gmm_mode: str = "diag") -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """CE over labels (incl. the STOP step) + masked GMM NLL over GT boxes."""
     b, o = labels.shape
     # targets at step t: object t for t<O, STOP at the first invalid step.
@@ -432,7 +437,8 @@ def box_loss(outputs: Dict[str, jnp.ndarray], labels, boxes, obj_valid,
 
     box_valid = (steps[:, :o] < n_obj[:, None]).astype(jnp.float32) * obj_valid
     box_nll = gmm.nll(
-        outputs["box_params"][:, :o], boxes, num_components, box_valid
+        outputs["box_params"][:, :o], boxes, num_components, box_valid,
+        mode=gmm_mode,
     )
     total = label_loss + box_nll
     return total, {"label_loss": label_loss, "box_nll": box_nll}

