@@ -45,13 +45,29 @@ def build_feed(cfg, args, with_images=True):
             print(f"B_VALIDATION split: {len(train_recs)} train / "
                   f"{len(val_recs)} held-out; using "
                   f"{'train' if cfg.TRAIN.FLAG else 'held-out'}")
+        # multi-host: each process serves its strided dataset partition and
+        # produces only its batch shard; parallel.shard_batch assembles the
+        # global array (SURVEY.md §2.6). n_records stays GLOBAL so the epoch
+        # schedule matches single-host.
+        import jax
+
+        from objgan_tpu.parallel.sharding import (
+            process_local_batch_slice, process_local_records,
+        )
+
+        n_global = len(records)
+        feed_cfg = cfg
+        if jax.process_count() > 1:
+            records = process_local_records(records)
+            _, local_b = process_local_batch_slice(cfg.TRAIN.BATCH_SIZE)
+            feed_cfg = cfg.merged({"TRAIN": {"BATCH_SIZE": local_b}})
         if getattr(args, "grain", False):
             from objgan_tpu.data.grain_feed import grain_feed
 
-            return grain_feed(cfg, records, vocab, seed=cfg.RNG_SEED,
-                              with_images=with_images), len(records), vocab
-        return iter(CocoFeed(cfg, records, vocab, seed=cfg.RNG_SEED,
-                             with_images=with_images)), len(records), vocab
+            return grain_feed(feed_cfg, records, vocab, seed=cfg.RNG_SEED,
+                              with_images=with_images), n_global, vocab
+        return iter(CocoFeed(feed_cfg, records, vocab, seed=cfg.RNG_SEED,
+                             with_images=with_images)), n_global, vocab
     return None, 0, None
 
 

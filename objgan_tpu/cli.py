@@ -78,13 +78,20 @@ def apply_epoch_schedule(cfg: Config, n_records: int, max_steps: int):
 
 
 def _feed(cfg: Config, data_iter, rng, with_images=True):
-    """Use the provided host feed, or an endless synthetic stream."""
+    """Use the provided host feed, or an endless synthetic stream. Each host
+    produces only its batch shard (multi-host: distinct data per host via a
+    process-index key fold; manifest feeds handle this in build_feed)."""
     if data_iter is not None:
         yield from data_iter
     else:
+        from objgan_tpu.parallel.sharding import process_local_batch_slice
+
+        _, local_b = process_local_batch_slice(cfg.TRAIN.BATCH_SIZE)
+        host_rng = jax.random.fold_in(rng, jax.process_index())
         for i in itertools.count():
             yield synthetic_batch(
-                cfg, jax.random.fold_in(rng, i), with_images=with_images
+                cfg, jax.random.fold_in(host_rng, i), local_b,
+                with_images=with_images
             )
 
 
@@ -138,12 +145,15 @@ def _run_loop(cfg, stage, trainer_state, step_fn, feed, writer, manager,
                 continue
             stacked = jax.tree.map(lambda *xs: np.stack(xs), *pending)
             pending = []
-            # (K, B, ...) layout: batch axis is axis 1
+            # (K, B, ...) layout: batch axis is axis 1; multi-host feeds
+            # produce per-host shards assembled by put_global
             from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from objgan_tpu.parallel.sharding import put_global
 
             sharding = NamedSharding(mesh, P(None, "data"))
             stacked = jax.tree.map(
-                lambda x: jax.device_put(x, sharding), stacked
+                lambda x: put_global(x, sharding), stacked
             )
             state, metrics = multi_step_fn(
                 state, stacked, jax.random.fold_in(rng, step)

@@ -31,12 +31,16 @@ def maybe_initialize_distributed() -> bool:
     the distributed runtime over DCN. Collectives still ride ICI via the
     mesh; this only wires cross-host control. Returns True if initialized.
 
-    Idempotent and safe to call single-host (no env -> no-op).
+    Idempotent and safe to call single-host (no env -> no-op). MUST run
+    before anything touches the backend — even ``jax.process_count()``
+    initializes XLA, after which ``jax.distributed.initialize`` raises (the
+    round-2 version had exactly that bug, so its initialize branch could
+    never execute; tests/test_multihost.py now runs it for real).
     """
     import os
 
-    if jax.process_count() > 1:
-        return True  # already initialized
+    if jax.distributed.is_initialized():
+        return True
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     if not addr or not nproc:
@@ -51,13 +55,37 @@ def maybe_initialize_distributed() -> bool:
 
 def process_local_batch_slice(global_batch: int) -> tuple[int, int]:
     """(start, size) of this host's slice of the global batch — each host's
-    feed produces only its shard; ``jax.make_array_from_process_local_data``
-    style assembly is handled by NamedSharding placement."""
+    feed produces only its shard; :func:`put_global` assembles the global
+    array from the per-host shards."""
     n = jax.process_count()
     if global_batch % n:
         raise ValueError(f"batch {global_batch} not divisible by {n} hosts")
     per = global_batch // n
     return jax.process_index() * per, per
+
+
+def process_local_records(records: Sequence[Any]) -> Sequence[Any]:
+    """This host's strided partition of the dataset (the lineage
+    DistributedSampler contract): host p serves records[p::n_hosts], so
+    hosts never duplicate each other's examples. No-op single-host."""
+    n = jax.process_count()
+    if n == 1:
+        return records
+    return list(records)[jax.process_index()::n]
+
+
+def put_global(x: Any, sharding: NamedSharding) -> jax.Array:
+    """Place one host-local array under a (possibly multi-host) sharding.
+
+    Single-process: plain ``device_put`` (x is the full array). Multi-host:
+    x is this process's SHARD of the global batch — assembled with
+    ``jax.make_array_from_process_local_data``, the supported API for
+    building a global jax.Array from per-host data (device_put cannot
+    address other hosts' devices)."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x))
+    return jax.device_put(x, sharding)
 
 
 def make_mesh(
@@ -89,9 +117,10 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Place every array in a batch pytree with its leading dim split over the
-    data axis. Host->device transfer happens here, once per step."""
+    data axis. Host->device transfer happens here, once per step. Multi-host:
+    ``batch`` is this process's shard (see :func:`put_global`)."""
     sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(lambda x: put_global(x, sharding), batch)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
