@@ -24,6 +24,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache (same location as cli.py): repeat bench runs and
+# A/B sweeps skip the minutes-per-program remote TPU compiles
+if jax.config.jax_compilation_cache_dir is None:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("OBJGAN_COMPILE_CACHE", "/tmp/objgan_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def _bench(fn, args_for, warmup=2, iters=10):
     """(fenced_median_s, pipelined_avg_s) with *distinct* inputs per call.
@@ -62,6 +71,14 @@ def main():
                     help="steps per execution for the sustained-train probe")
     ap.add_argument("--up_mode", default=None,
                     choices=["nearest", "subpixel"])
+    ap.add_argument("--feed", default=None,
+                    help="dataset manifest: measure REAL-DATA sustained "
+                         "training steps/s through the wire-format host "
+                         "feed + prefetch pipeline (VERDICT r3 done-"
+                         "criterion); extras get realdata_* keys")
+    ap.add_argument("--feed_classic", action="store_true",
+                    help="with --feed: use the float32 classic feed instead "
+                         "of the uint8 wire format (for the A/B row)")
     args = ap.parse_args()
 
     from objgan_tpu.core.config import Config, tiny_test_config
@@ -169,6 +186,26 @@ def main():
     extras["train_images_per_sec_per_chip"] = round(
         batch_size / dt_train / max(n_chips, 1), 3
     )
+    if args.analyze:
+        # train-step roofline (VERDICT r2 weak #2): flops/bytes of the full
+        # adversarial step vs the ~197 TFLOP/s bf16 / 819 GB/s v5e peaks —
+        # the evidence for whether 55 ms sustained is near the ceiling.
+        try:
+            step_nodonate = trainer.jitted_train_step(donate=False)
+            ca = step_nodonate.lower(state, batch, keys[0]).compile() \
+                .cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = float(ca.get("flops", 0.0))
+            bytes_ = float(ca.get("bytes accessed", 0.0))
+            extras["train_gflops"] = round(flops / 1e9, 2)
+            extras["train_gbytes"] = round(bytes_ / 1e9, 3)
+            extras["train_achieved_tflops"] = round(
+                flops / dt_train / 1e12, 2)
+            extras["train_hbm_gbps"] = round(bytes_ / dt_train / 1e9, 1)
+            extras["train_arith_intensity"] = round(flops / max(bytes_, 1.0),
+                                                    1)
+        except Exception as e:
+            extras["train_analyze_error"] = str(e)[:120]
     del t_state
 
     # sustained training: K chained steps per device execution — the real
@@ -197,6 +234,11 @@ def main():
     extras["train_sustained_images_per_sec_per_chip"] = round(
         batch_size / dt_sust / max(n_chips, 1), 3
     )
+    if "train_gflops" in extras:  # sustained-roofline view (per-step cost)
+        extras["train_sustained_achieved_tflops"] = round(
+            extras["train_gflops"] / dt_sust / 1e3, 2)
+        extras["train_sustained_hbm_gbps"] = round(
+            extras["train_gbytes"] / dt_sust, 1)
     del m_state, stacked
 
     if args.all:
@@ -268,6 +310,49 @@ def main():
         extras["pipeline_e2e_images_per_sec_per_chip"] = round(
             batch_size / dt_pipe / max(n_chips, 1), 2
         )
+
+    if args.feed:
+        # real-data sustained training: wire-format CocoFeed + the
+        # _PrefetchFeed host->device pipeline, exactly the production
+        # train-loop path (cli._run_loop), measured as steps/s.
+        import os as _os
+
+        from objgan_tpu import cli as _cli
+        from objgan_tpu.data.pipeline import CocoFeed, load_records_json
+        from objgan_tpu.data.tokenizer import Vocab
+        from objgan_tpu.parallel.sharding import make_mesh, replicate
+
+        records = load_records_json(args.feed)
+        vocab = Vocab.build(c for r in records for c in r["captions"])
+        feed_cfg = cfg.replace(DATA_DIR=_os.path.dirname(args.feed) or ".")
+        feed = CocoFeed(feed_cfg, records, vocab, seed=0,
+                        wire=not args.feed_classic)
+        k_feed = args.k or (2 if args.quick else 8)
+        mesh = make_mesh()
+        f_state = replicate(mesh, jax.tree.map(jnp.copy, state))
+        multi = trainer.jitted_multi_step(donate=True)
+        prefetch = _cli._PrefetchFeed(iter(feed), mesh, k_feed)
+        it = iter(prefetch)
+        for i in range(2):  # compile + cache warm (first epoch fills it)
+            _, stacked = next(it)
+            f_state, fm = multi(f_state, stacked, keys[600 + i])
+        jax.block_until_ready(fm)
+        n_execs = 2 if args.quick else 6
+        t0 = time.perf_counter()
+        for i in range(n_execs):
+            _, stacked = next(it)
+            f_state, fm = multi(f_state, stacked, keys[700 + i])
+        jax.block_until_ready(fm)
+        dt_real = (time.perf_counter() - t0) / (n_execs * k_feed)
+        prefetch.close()
+        tag = "classic" if args.feed_classic else "wire"
+        extras[f"realdata_{tag}_sustained_steps_per_sec"] = round(
+            1.0 / dt_real, 3)
+        extras[f"realdata_{tag}_sustained_ms_per_step"] = round(
+            dt_real * 1e3, 3)
+        extras[f"realdata_{tag}_images_per_sec_per_chip"] = round(
+            batch_size / dt_real / max(n_chips, 1), 1)
+        del f_state
 
     extras["batch_size"] = batch_size
     extras["n_chips"] = n_chips

@@ -18,6 +18,8 @@ def parse_opts(argv=None):
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--max_steps", type=int, default=10**9)
     p.add_argument("--manifest", default=None)
+    p.add_argument("--wire", action="store_true",
+                   help="compact uint8 wire batches (data/wire.py)")
     p.add_argument("--captions_pickle", default=None)
     p.add_argument("--caption", action="append", default=None,
                    help="(sample.py) caption text; repeatable")

@@ -61,13 +61,16 @@ def build_feed(cfg, args, with_images=True):
             records = process_local_records(records)
             _, local_b = process_local_batch_slice(cfg.TRAIN.BATCH_SIZE)
             feed_cfg = cfg.merged({"TRAIN": {"BATCH_SIZE": local_b}})
+        wire = bool(getattr(args, "wire", False))
         if getattr(args, "grain", False):
             from objgan_tpu.data.grain_feed import grain_feed
 
             return grain_feed(feed_cfg, records, vocab, seed=cfg.RNG_SEED,
-                              with_images=with_images), n_global, vocab
+                              with_images=with_images,
+                              wire=wire), n_global, vocab
         return iter(CocoFeed(feed_cfg, records, vocab, seed=cfg.RNG_SEED,
-                             with_images=with_images)), n_global, vocab
+                             with_images=with_images,
+                             wire=wire)), n_global, vocab
     return None, 0, None
 
 
@@ -79,6 +82,10 @@ def main():
                         help="dataset manifest JSON (see data/pipeline.py)")
     parser.add_argument("--captions_pickle", default=None,
                         help="reference captions.pickle for vocab parity")
+    parser.add_argument("--wire", action="store_true",
+                        help="compact uint8 wire batches + device-side "
+                             "pyramid (data/wire.py; ~5x fewer host->device "
+                             "bytes, cached host transform)")
     parser.add_argument("--grain", action="store_true",
                         help="use the Grain multi-worker host feed")
     parser.add_argument("--max_steps", type=int, default=10**9)

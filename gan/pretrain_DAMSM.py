@@ -17,6 +17,10 @@ def main():
     parser.add_argument("--cfg", dest="cfg_file", default=None)
     parser.add_argument("--manifest", default=None)
     parser.add_argument("--captions_pickle", default=None)
+    parser.add_argument("--wire", action="store_true",
+                        help="compact uint8 wire batches + device-side "
+                             "pyramid (data/wire.py; ~5x fewer host->device "
+                             "bytes, cached host transform)")
     parser.add_argument("--grain", action="store_true",
                         help="use the Grain multi-worker host feed")
     parser.add_argument("--max_steps", type=int, default=10**9)

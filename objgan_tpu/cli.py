@@ -95,6 +95,81 @@ def _feed(cfg: Config, data_iter, rng, with_images=True):
             )
 
 
+class _PrefetchFeed:
+    """Background host->device pipeline for the K-step training path.
+
+    A producer thread pulls host batches, stacks K of them, and starts
+    their device transfer (``put_global``) while the main thread's previous
+    execution is still running — on this single-core host the transfer
+    wait (GIL released in the runtime) is exactly when the producer gets
+    CPU, so feed work and device work overlap instead of serializing
+    (tools/profile_feed.py breakdown; VERDICT r2 "next" #1).
+
+    Yields ("exec", stacked_on_device) items, then ("tail", raw_batch) for
+    a bounded feed's final partial stack.
+    """
+
+    def __init__(self, feed, mesh, spe, depth: int = 2):
+        import queue as _queue
+        import threading
+
+        self._feed = feed
+        self._mesh = mesh
+        self._spe = spe
+        self._q = _queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._Full = _queue.Full
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread.start()
+
+    def _stack_put(self, pending):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from objgan_tpu.parallel.sharding import put_global
+
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *pending)
+        sharding = NamedSharding(self._mesh, P(None, "data"))
+        return jax.tree.map(lambda x: put_global(x, sharding), stacked)
+
+    def _put(self, item) -> bool:
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.2)
+                return True
+            except self._Full:
+                continue
+        return False
+
+    def _produce(self):
+        pending = []
+        it = iter(self._feed)
+        while not self._stop.is_set():
+            try:
+                b = next(it)
+            except StopIteration:
+                break
+            pending.append(b)
+            if len(pending) == self._spe:
+                item = ("exec", self._stack_put(pending))
+                pending = []
+                if not self._put(item):
+                    return
+        for b in pending:
+            if not self._put(("tail", b)):
+                return
+        self._put(("end", None))
+
+    def __iter__(self):
+        while True:
+            kind, val = self._q.get()
+            if kind == "end":
+                return
+            yield kind, val
+
+    def close(self):
+        self._stop.set()
+
+
 def _run_loop(cfg, stage, trainer_state, step_fn, feed, writer, manager,
               max_steps, needs_rng=True, snapshot_hook=None,
               multi_step_fn=None):
@@ -124,7 +199,6 @@ def _run_loop(cfg, stage, trainer_state, step_fn, feed, writer, manager,
     step = int(jax.device_get(trainer_state.step))  # resume-aware
     last_logged = step
     logged_any = False
-    pending = []
 
     def save(at_step):
         if manager.latest_step() != at_step:  # collision guard
@@ -136,32 +210,8 @@ def _run_loop(cfg, stage, trainer_state, step_fn, feed, writer, manager,
             return step_fn(state, batch, jax.random.fold_in(rng, at_step))
         return step_fn(state, batch)
 
-    for batch in feed:
-        if step >= max_steps:
-            break
-        if use_multi:
-            pending.append(batch)
-            if len(pending) < spe:
-                continue
-            stacked = jax.tree.map(lambda *xs: np.stack(xs), *pending)
-            pending = []
-            # (K, B, ...) layout: batch axis is axis 1; multi-host feeds
-            # produce per-host shards assembled by put_global
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from objgan_tpu.parallel.sharding import put_global
-
-            sharding = NamedSharding(mesh, P(None, "data"))
-            stacked = jax.tree.map(
-                lambda x: put_global(x, sharding), stacked
-            )
-            state, metrics = multi_step_fn(
-                state, stacked, jax.random.fold_in(rng, step)
-            )
-            step += spe
-        else:
-            state, metrics = run_single(batch, step)
-            step += 1
+    def after_step(metrics):
+        nonlocal t_last, last_logged, logged_any
         if step - last_logged >= log_every or not logged_any:
             metrics = {k: float(v) for k, v in metrics.items()}
             now = time.monotonic()
@@ -181,10 +231,34 @@ def _run_loop(cfg, stage, trainer_state, step_fn, feed, writer, manager,
             save(step)
             if snapshot_hook is not None:
                 snapshot_hook(state, step)
-    # flush a partial multi-step stack so bounded feeds train on their tail
-    for b in pending:
-        state, _ = run_single(b, step)
-        step += 1
+
+    if use_multi:
+        # K-stacked executions with a background host->device pipeline: the
+        # producer thread stacks and ships batch K+1..2K while the device
+        # runs batch 1..K (see _PrefetchFeed)
+        prefetch = _PrefetchFeed(feed, mesh, spe)
+        try:
+            for kind, val in prefetch:
+                if step >= max_steps:
+                    break
+                if kind == "exec":
+                    state, metrics = multi_step_fn(
+                        state, val, jax.random.fold_in(rng, step)
+                    )
+                    step += spe
+                else:  # "tail": bounded feed's final partial stack
+                    state, metrics = run_single(val, step)
+                    step += 1
+                after_step(metrics)
+        finally:
+            prefetch.close()
+    else:
+        for batch in feed:
+            if step >= max_steps:
+                break
+            state, metrics = run_single(batch, step)
+            step += 1
+            after_step(metrics)
     save(step)
     ckpt.wait(manager)
     return state

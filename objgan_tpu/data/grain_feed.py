@@ -24,12 +24,16 @@ class _RecordTransform:
     """Picklable per-record map (runs in grain worker processes)."""
 
     def __init__(self, cfg: Config, vocab: Vocab, with_images: bool,
-                 augment: bool = True, image_root=None):
+                 augment: bool = True, image_root=None, wire: bool = False):
         self.feed = CocoFeed.__new__(CocoFeed)
         self.feed.cfg = cfg
         self.feed.vocab = vocab
         self.feed.with_images = with_images
         self.feed.augment = augment
+        self.feed.wire = wire
+        # shared across grain worker threads: a plain dict cache is safe in
+        # CPython (worst case both threads compute the same record once)
+        self.feed._cache = {} if wire else None
         self.feed.image_root = image_root or cfg.DATA_DIR
         self.feed.records = []
 
@@ -63,6 +67,7 @@ def grain_feed(
     num_epochs: Optional[int] = None,
     worker_count: int = 0,
     augment: bool = True,
+    wire: bool = False,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Infinite (or ``num_epochs``-bounded) batch iterator via Grain."""
     import grain.python as gp
@@ -72,7 +77,8 @@ def grain_feed(
     records = list(records)  # materialize once: a one-shot iterator would be
     # exhausted by validate_labels and silently yield an empty dataset
     validate_labels(cfg, records)
-    transform = _RecordTransform(cfg, vocab, with_images, augment)
+    transform = _RecordTransform(cfg, vocab, with_images, augment,
+                                 wire=wire)
     ds = (
         gp.MapDataset.source(records)
         .seed(seed)

@@ -96,17 +96,30 @@ class CocoFeed:
     geometry-consistent across every modality: a random horizontal flip
     applied jointly to the image, the boxes (x0 -> 1 - x0 - w), and the
     per-object masks.
+
+    ``wire=True`` emits the compact uint8 wire format (``data/wire.py``):
+    finest-scale uint8 image + uint8 masks; trainers expand on device. In
+    wire mode the deterministic per-record work (decode, resize,
+    rasterization, caption tokenization) is computed once and RAM-cached
+    (up to ``cache_limit`` records — beyond that every epoch recomputes),
+    which is what makes an 18-steps/s feed possible on this single-core
+    host (tools/profile_feed.py breakdown, BASELINE.md round 3).
     """
 
     def __init__(self, cfg: Config, records: Sequence[Dict], vocab: Vocab,
                  seed: int = 0, with_images: bool = True,
-                 augment: bool = True, image_root: Optional[str] = None):
+                 augment: bool = True, image_root: Optional[str] = None,
+                 wire: bool = False, cache_limit: int = 8000):
         self.cfg = cfg
         self.records = list(records)
         self.vocab = vocab
         self.rng = np.random.default_rng(seed)
         self.with_images = with_images
         self.augment = augment
+        self.wire = wire
+        self._cache: Optional[Dict[int, Dict]] = (
+            {} if wire and len(self.records) <= cache_limit else None
+        )
         self.image_root = image_root or cfg.DATA_DIR
         if not self.records:
             raise ValueError("empty dataset")
@@ -161,21 +174,14 @@ class CocoFeed:
             return np.issubdtype(np.asarray(rec["image"]).dtype, np.integer)
         return bool(rec.get("image_file"))  # PIL decode = uint8
 
-    def _one(self, rec: Dict, rng: Optional[np.random.Generator] = None,
-             rec_id: int = 0) -> Dict[str, np.ndarray]:
-        rng = rng if rng is not None else self.rng
+    def _canonical(self, rec: Dict):
+        """Deterministic layout canonicalization: salient-first order (area
+        descending, ties left-to-right — SURVEY.md §2.1: large objects are
+        both easier to predict first and condition the rest), MAX_OBJECTS
+        padding, per-object masks in box frame."""
         cfg = self.cfg
         o = cfg.OBJ.MAX_OBJECTS
         s = cfg.OBJ.SHAPE_SIZE
-        cap = rec["captions"][rng.integers(len(rec["captions"]))]
-        caps, lens = self.vocab.encode(cap, cfg.TEXT.WORDS_NUM)
-        # word dropout: give the <unk> embedding training signal (tokenizer
-        # module doc) — replace real tokens with <unk> at a small rate
-        p_drop = cfg.TEXT.WORD_DROPOUT
-        if self.augment and p_drop > 0 and self.vocab.unk is not None:
-            drop = (rng.random(lens) < p_drop)
-            caps[:lens][drop] = self.vocab.unk
-
         n = min(len(rec["labels"]), o)
         labels = np.zeros((o,), np.int32)
         boxes = np.zeros((o, 4), np.float32)
@@ -183,9 +189,6 @@ class CocoFeed:
         masks = np.zeros((o, s, s), np.float32)
         all_labels = np.asarray(rec["labels"], np.int32)
         all_boxes = np.asarray(rec["boxes"], np.float32).reshape(-1, 4)
-        # canonical object order for the Stage-A GT sequence (SURVEY.md §2.1):
-        # salient-first — area descending, ties broken left-to-right. Large
-        # objects are both easier to predict first and condition the rest.
         order = np.lexsort(
             (all_boxes[:, 0], -(all_boxes[:, 2] * all_boxes[:, 3]))
         )[: n]
@@ -204,6 +207,102 @@ class CocoFeed:
                 )
         else:
             masks[:n] = 1.0  # box == shape fallback
+        return labels, boxes, valid, masks
+
+    def _encode_caption(self, rec: Dict, rng) -> tuple:
+        """Random caption pick + encode + <unk> word dropout (tokenizer
+        module doc: gives the <unk> embedding training signal)."""
+        cfg = self.cfg
+        cap = rec["captions"][rng.integers(len(rec["captions"]))]
+        caps, lens = self.vocab.encode(cap, cfg.TEXT.WORDS_NUM)
+        p_drop = cfg.TEXT.WORD_DROPOUT
+        if self.augment and p_drop > 0 and self.vocab.unk is not None:
+            drop = (rng.random(lens) < p_drop)
+            caps[:lens][drop] = self.vocab.unk
+        return caps, lens
+
+    def _finest_u8(self, rec: Dict) -> Optional[np.ndarray]:
+        """Finest-scale uint8 image (canonical orientation) for wire mode."""
+        sz = self.cfg.branch_sizes[-1]
+        if rec.get("image") is not None:
+            img = np.asarray(rec["image"])
+            if not np.issubdtype(img.dtype, np.integer):
+                img = (img + 1.0) * 127.5  # [-1, 1] float contract -> u8
+            img = _resize_area(img.astype(np.float32), sz)
+            return np.clip(img, 0.0, 255.0).astype(np.uint8)
+        if rec.get("image_file"):
+            from PIL import Image
+
+            path = os.path.join(self.image_root, rec["image_file"])
+            with Image.open(path) as im:
+                im = im.convert("RGB")
+                if im.size != (sz, sz):
+                    im = im.resize((sz, sz), Image.BOX)
+                return np.asarray(im, np.uint8)
+        return None
+
+    def _wire_base(self, rec: Dict, rec_id: int) -> Dict:
+        """Cacheable deterministic per-record work for wire mode: decode +
+        resize + rasterize + tokenize, all exactly once per record."""
+        if self._cache is not None:
+            hit = self._cache.get(rec_id)
+            if hit is not None:
+                return hit
+        cfg = self.cfg
+        labels, boxes, valid, masks = self._canonical(rec)
+        base = {
+            "enc": [self.vocab.encode(c, cfg.TEXT.WORDS_NUM)
+                    for c in rec["captions"]],
+            "labels": labels, "boxes": boxes, "valid": valid,
+            "masks_u8": (masks > 0.5).astype(np.uint8),
+        }
+        if self.with_images:
+            base["image_u8"] = self._finest_u8(rec)
+        if self._cache is not None:
+            self._cache[rec_id] = base
+        return base
+
+    def _one_wire(self, rec: Dict, rng, rec_id: int) -> Dict[str, np.ndarray]:
+        from objgan_tpu.data.wire import WIRE_IMAGE, WIRE_SHAPES
+
+        cfg = self.cfg
+        base = self._wire_base(rec, rec_id)
+        caps, lens = base["enc"][rng.integers(len(base["enc"]))]
+        caps = caps.copy()
+        p_drop = cfg.TEXT.WORD_DROPOUT
+        if self.augment and p_drop > 0 and self.vocab.unk is not None:
+            drop = (rng.random(lens) < p_drop)
+            caps[:lens][drop] = self.vocab.unk
+        flip = bool(self.augment and rng.random() < 0.5)
+        boxes, masks = base["boxes"], base["masks_u8"]
+        if flip:
+            n = int(base["valid"].sum())
+            boxes = boxes.copy()
+            boxes[:n, 0] = 1.0 - boxes[:n, 0] - boxes[:n, 2]
+            masks = masks[:, :, ::-1]
+        out = {
+            "captions": caps,
+            "cap_lens": np.int32(lens),
+            "class_ids": np.int32(rec_id),
+            "labels": base["labels"],
+            "boxes": boxes,
+            WIRE_SHAPES: masks,
+            "obj_valid": base["valid"],
+        }
+        if self.with_images and base.get("image_u8") is not None:
+            img = base["image_u8"]
+            out[WIRE_IMAGE] = img[:, ::-1] if flip else img
+        return out
+
+    def _one(self, rec: Dict, rng: Optional[np.random.Generator] = None,
+             rec_id: int = 0) -> Dict[str, np.ndarray]:
+        rng = rng if rng is not None else self.rng
+        cfg = self.cfg
+        if self.wire:
+            return self._one_wire(rec, rng, rec_id)
+        caps, lens = self._encode_caption(rec, rng)
+        labels, boxes, valid, masks = self._canonical(rec)
+        n = int(valid.sum())
 
         flip = bool(self.augment and rng.random() < 0.5)
         if flip:

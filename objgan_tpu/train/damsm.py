@@ -41,6 +41,9 @@ class DamsmTrainer:
         self.img_tx = optax.adam(cfg.TRAIN.ENCODER_LR, b1=0.5, b2=0.999)
 
     def init_state(self, rng: jax.Array, batch) -> DamsmTrainState:
+        from objgan_tpu.data.wire import from_wire
+
+        batch = from_wire(self.cfg, batch)
         k1, k2 = jax.random.split(rng)
         text_params = self.text_enc.init(
             k1, batch["captions"], batch["cap_lens"]
@@ -55,6 +58,9 @@ class DamsmTrainer:
         )
 
     def loss(self, text_params, img_params, batch, rng):
+        from objgan_tpu.data.wire import from_wire
+
+        batch = from_wire(self.cfg, batch)
         words, sent = self.text_enc.apply(
             text_params, batch["captions"], batch["cap_lens"],
             deterministic=False, rngs={"dropout": rng},

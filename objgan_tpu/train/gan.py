@@ -100,6 +100,9 @@ class GanTrainer:
     def init_state(self, rng: jax.Array, batch: Dict[str, jnp.ndarray],
                    text_params=None, img_params=None,
                    label_table=None) -> GanTrainState:
+        from objgan_tpu.data.wire import from_wire
+
+        batch = from_wire(self.cfg, batch)
         cfg = self.cfg
         ks = list(jax.random.split(rng, 16))
         b = batch["captions"].shape[0]
@@ -254,6 +257,10 @@ class GanTrainer:
         return d_total + g_total, metrics
 
     def train_step(self, state: GanTrainState, batch, rng):
+        from objgan_tpu.data.wire import from_wire
+
+        batch = from_wire(self.cfg, batch)  # no-op for classic batches
+
         def loss_fn(g_params, d_params, objd_params):
             return self._losses(g_params, d_params, objd_params, state, batch,
                                 rng)
@@ -299,6 +306,9 @@ class GanTrainer:
 
     def sample(self, state: GanTrainState, batch, rng, use_ema: bool = True):
         """Full text->image sampling with the (EMA) generator."""
+        from objgan_tpu.data.wire import from_wire
+
+        batch = from_wire(self.cfg, batch)
         cfg = self.cfg
         b, t = batch["captions"].shape
         k_z, k_ca = jax.random.split(rng)

@@ -67,6 +67,9 @@ class ShapeTrainer:
         return params
 
     def init_state(self, rng: jax.Array, batch, label_table=None):
+        from objgan_tpu.data.wire import from_wire
+
+        batch = from_wire(self.cfg, batch)
         cfg = self.cfg
         k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
         if label_table is None:
@@ -86,6 +89,9 @@ class ShapeTrainer:
         )
 
     def _losses(self, g_params, d_params, state, batch, rng):
+        from objgan_tpu.data.wire import from_wire
+
+        batch = from_wire(self.cfg, batch)
         cfg = self.cfg
         sg = jax.lax.stop_gradient
         labels_emb = sg(state.label_table[batch["labels"]])

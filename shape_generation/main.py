@@ -13,6 +13,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", dest="cfg_file", default=None)
     parser.add_argument("--manifest", default=None)
+    parser.add_argument("--wire", action="store_true",
+                        help="compact uint8 wire batches (data/wire.py)")
     parser.add_argument("--captions_pickle", default=None)
     parser.add_argument("--max_steps", type=int, default=10**9)
     parser.add_argument("--eval", action="store_true",
@@ -27,6 +29,7 @@ def main():
     if args.eval:
         # eval = non-training path so B_VALIDATION serves the held-out split
         cfg = cfg.merged({"TRAIN": {"FLAG": False}})
+        args.wire = False  # mask metrics read batch["shapes"] on host
         feed = None
         if args.manifest:
             from gan.main import build_feed
