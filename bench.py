@@ -71,6 +71,9 @@ def main():
                     help="steps per execution for the sustained-train probe")
     ap.add_argument("--up_mode", default=None,
                     choices=["nearest", "subpixel"])
+    ap.add_argument("--remat", default=None, choices=["none", "stages"],
+                    help="GAN.REMAT override for the train-step remat A/B "
+                         "(BASELINE.md round-3 roofline experiment)")
     ap.add_argument("--feed", default=None,
                     help="dataset manifest: measure REAL-DATA sustained "
                          "training steps/s through the wire-format host "
@@ -97,6 +100,8 @@ def main():
     cfg = cfg.merged({"TRAIN": {"BATCH_SIZE": batch_size}})
     if args.up_mode:
         cfg = cfg.merged({"GAN": {"UP_MODE": args.up_mode}})
+    if args.remat:
+        cfg = cfg.merged({"GAN": {"REMAT": args.remat}})
 
     rng = jax.random.PRNGKey(0)
     trainer = GanTrainer(cfg)

@@ -94,6 +94,13 @@ class GanConfig:
     B_ATTENTION: bool = True
     B_DCGAN: bool = False
     UP_MODE: str = "nearest"  # "nearest" (lineage) | "subpixel" (less HBM)
+    # "stages": rematerialize G attention stages + every D/encoder forward in
+    # the train step. Motivation: the round-3 roofline measured the fused
+    # adversarial step at the HBM roofline (845 GB/s achieved vs ~819 peak)
+    # with only ~23% MXU utilization — remat trades spare FLOPs for saved
+    # activation bytes. Measured on v5e before flipping any default
+    # (BASELINE.md round-3 remat table).
+    REMAT: str = "none"       # "none" | "stages"
 
 
 @dataclass(frozen=True)

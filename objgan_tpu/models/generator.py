@@ -236,6 +236,14 @@ class GNet(nn.Module):
         gf = cfg.GAN.GF_DIM
         base = cfg.TREE.BASE_SIZE
 
+        # cfg.GAN.REMAT == "stages": rematerialize the attention stages —
+        # their concat/res-block activations at 64/128px dominate the train
+        # step's HBM traffic (roofline: BASELINE.md round-3). Forward-only
+        # programs (sampling) are unaffected: remat without a backward pass
+        # is the identity transform.
+        Stage = (nn.remat(AttnStage) if cfg.GAN.REMAT == "stages"
+                 else AttnStage)
+
         c_code, mu, logvar = CANet(cfg.GAN.CONDITION_DIM, dt, name="ca_net")(
             sent_emb.astype(dt), rng
         )
@@ -275,7 +283,7 @@ class GNet(nn.Module):
                     shape_maps.reshape(b_ * o_, base, base, 1),
                     (b_ * o_, res, res, 1), method="bilinear",
                 ).reshape(b_, o_, res, res)
-            h, g_attn, o_attn = AttnStage(
+            h, g_attn, o_attn = Stage(
                 gf, cfg.GAN.R_NUM, dt, cfg.GAN.UP_MODE, name=f"attn_stage{i}"
             )(h, word_embs.astype(dt), word_mask, obj_query, maps_i, obj_valid)
             res *= 2

@@ -31,6 +31,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cfg", dest="cfg_file", default=None)
     ap.add_argument("--manifest", required=True)
+    ap.add_argument("--data_dir", default=None,
+                    help="image root (default: the manifest's directory)")
+    ap.add_argument("--wire", action="store_true",
+                    help="profile the uint8 wire feed instead of classic")
     ap.add_argument("--k", type=int, default=0)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--train", action="store_true",
@@ -43,12 +47,19 @@ def main():
     from objgan_tpu.data.pipeline import CocoFeed, load_records_json
     from objgan_tpu.data.tokenizer import Vocab
 
+    import os
+
     cfg = cfg_from_file(args.cfg_file) if args.cfg_file else Config()
+    cfg = cfg.replace(DATA_DIR=args.data_dir
+                      or os.path.dirname(args.manifest) or ".")
     k = args.k or max(1, cfg.TRAIN.STEPS_PER_EXECUTION)
     records = load_records_json(args.manifest)
     vocab = Vocab.build(c for r in records for c in r["captions"])
-    feed = CocoFeed(cfg, records, vocab, seed=0)
+    feed = CocoFeed(cfg, records, vocab, seed=0, wire=args.wire)
     b = cfg.TRAIN.BATCH_SIZE
+    if args.wire:  # pre-fill the deterministic cache so timings are steady
+        for i, r in enumerate(records):
+            feed._wire_base(r, i)
 
     # -- 1. per-record transform --------------------------------------
     rng = np.random.default_rng(0)

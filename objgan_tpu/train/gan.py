@@ -198,26 +198,36 @@ class GanTrainer:
             layouts[size] = canvas
         layouts = {k: sg(v) for k, v in layouts.items()}
 
+        # cfg.GAN.REMAT == "stages": rematerialize every D/encoder forward —
+        # only their (tiny) logits are saved for the backward; trunk
+        # activations are recomputed. See GanConfig.REMAT for the roofline
+        # motivation and BASELINE.md round-3 for the measurement.
+        ck = jax.checkpoint if cfg.GAN.REMAT == "stages" else (lambda f: f)
+
         # ---- D terms (fakes severed) ----
         d_total = jnp.float32(0.0)
         wrong_sent = roll_sent(sent)
         for i, dnet in enumerate(self.d_nets):
             real, fake = batch["images"][i], sg(fakes[i])
             lay = layouts[cfg.branch_sizes[i]]
-            # one real trunk shared by the matched and mismatched pairs
-            real_trunk = dnet.apply(d_params[i], real, lay, method="trunk")
-            out_real = dnet.apply(d_params[i], real_trunk, sent,
-                                  method="heads")
-            out_wrong = dnet.apply(d_params[i], real_trunk, wrong_sent,
-                                   method="heads")
-            out_fake = dnet.apply(d_params[i], fake, sent, lay)
+
+            def real_pair(p, real, lay, sent, wrong_sent, dnet=dnet):
+                # one real trunk shared by the matched and mismatched pairs
+                trunk = dnet.apply(p, real, lay, method="trunk")
+                return (dnet.apply(p, trunk, sent, method="heads"),
+                        dnet.apply(p, trunk, wrong_sent, method="heads"))
+
+            out_real, out_wrong = ck(real_pair)(
+                d_params[i], real, lay, sent, wrong_sent
+            )
+            out_fake = ck(dnet.apply)(d_params[i], fake, sent, lay)
             d_i, aux = discriminator_loss(out_real, out_fake, out_wrong)
             d_total = d_total + d_i
             metrics[f"d_loss{i}"] = d_i
-        objd_real = self.obj_d.apply(
+        objd_real = ck(self.obj_d.apply)(
             objd_params, batch["images"][-1], batch["boxes"], labels_emb
         )
-        objd_fake = self.obj_d.apply(
+        objd_fake = ck(self.obj_d.apply)(
             objd_params, sg(fakes[-1]), batch["boxes"], labels_emb
         )
         objd_l, objd_aux = object_d_loss(
@@ -229,12 +239,12 @@ class GanTrainer:
         # ---- G terms (D params severed) ----
         g_total = jnp.float32(0.0)
         for i, dnet in enumerate(self.d_nets):
-            out_fake_g = dnet.apply(sg(d_params[i]), fakes[i], sent,
-                                    layouts[cfg.branch_sizes[i]])
+            out_fake_g = ck(dnet.apply)(sg(d_params[i]), fakes[i], sent,
+                                        layouts[cfg.branch_sizes[i]])
             g_adv = generator_adv_loss(out_fake_g)
             g_total = g_total + g_adv
             metrics[f"g_adv{i}"] = g_adv
-        objd_fake_g = self.obj_d.apply(
+        objd_fake_g = ck(self.obj_d.apply)(
             sg(objd_params), fakes[-1], batch["boxes"], labels_emb
         )
         g_obj = object_g_loss(objd_fake_g, batch["labels"], batch["obj_valid"])
@@ -242,7 +252,7 @@ class GanTrainer:
         metrics["g_obj"] = g_obj
 
         # DAMSM on the finest fake (frozen image encoder)
-        regions, global_f = self.img_enc.apply(state.img_params, fakes[-1])
+        regions, global_f = ck(self.img_enc.apply)(state.img_params, fakes[-1])
         sm = cfg.TRAIN.SMOOTH
         w0, w1, _ = words_loss(
             regions, words, batch["cap_lens"], batch["class_ids"],

@@ -119,6 +119,36 @@ class TestGanTrainer:
             assert bool(jnp.all(jnp.isfinite(img)))
 
 
+class TestRemat:
+    def test_remat_matches_baseline_numerics(self, cfg, batch):
+        """GAN.REMAT='stages' is a pure scheduling change (recompute instead
+        of store): one train step from identical init must produce the same
+        params/metrics as REMAT='none' to fp32 tolerance."""
+        tr0 = GanTrainer(cfg)
+        tr1 = GanTrainer(cfg.merged({"GAN": {"REMAT": "stages"}}))
+        s0 = tr0.init_state(jax.random.PRNGKey(0), batch)
+        s1 = tr1.init_state(jax.random.PRNGKey(0), batch)
+        a0 = np.asarray(jax.tree.leaves(s0.g_params)[0])
+        a1 = np.asarray(jax.tree.leaves(s1.g_params)[0])
+        np.testing.assert_array_equal(a0, a1)  # nn.remat keeps param naming
+        n0, m0 = tr0.jitted_train_step(donate=False)(
+            s0, batch, jax.random.PRNGKey(3))
+        n1, m1 = tr1.jitted_train_step(donate=False)(
+            s1, batch, jax.random.PRNGKey(3))
+        np.testing.assert_allclose(
+            float(m0["d_loss"]), float(m1["d_loss"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(m0["g_loss"]), float(m1["g_loss"]), rtol=1e-5)
+        for p0, p1 in zip(jax.tree.leaves(n0.g_params)[:8],
+                          jax.tree.leaves(n1.g_params)[:8]):
+            np.testing.assert_allclose(np.asarray(p0), np.asarray(p1),
+                                       rtol=1e-4, atol=1e-6)
+        for p0, p1 in zip(jax.tree.leaves(n0.d_params)[:8],
+                          jax.tree.leaves(n1.d_params)[:8]):
+            np.testing.assert_allclose(np.asarray(p0), np.asarray(p1),
+                                       rtol=1e-4, atol=1e-6)
+
+
 class TestEma:
     def test_ema_tracks_generator(self, cfg, batch):
         """EMA params follow the lineage's copy_G_params moving average."""
