@@ -24,6 +24,6 @@ python shape_generation/main.py --cfg $C --manifest $M --max_steps 800
 # samples (lite-FID) and 2048 R-precision pairs off the held-out split
 for SEG in 600 1200 1800 2400 3000 3600 4200 4800 5400 6000 6600 7200 7800; do
   python gan/main.py --cfg $C --manifest $M --wire --max_steps $SEG
-  timeout 1800 python gan/eval.py --cfg $C --manifest $M \
-      --num_batches 128 | tee $L/fid_$SEG.log
+  timeout 2400 python gan/eval.py --cfg $C --manifest $M \
+      --num_batches 128 --real_stats all | tee $L/fid_$SEG.log
 done

@@ -29,6 +29,13 @@ def main():
     ap.add_argument("--num_batches", type=int, default=10)
     ap.add_argument("--strict", action="store_true",
                     help="full Inception-v3 activations (standard FID/IS)")
+    ap.add_argument("--real_stats", choices=["paired", "all"],
+                    default="paired",
+                    help="'all': real-side FID statistics over EVERY unique "
+                         "manifest image (augmentation-free single epoch — "
+                         "the standard protocol computes real stats over "
+                         "the whole dataset); 'paired' (default) uses the "
+                         "same batches that condition the fakes")
     ap.add_argument("--inception_pth", default=None,
                     help="torchvision inception_v3 .pth state dict "
                          "(required for --strict; converted on the fly)")
@@ -137,6 +144,26 @@ def main():
         sents.append(np.asarray(sent))
         globals_.append(np.asarray(gfeat))
 
+    n_real_unique = None
+    if args.real_stats == "all" and args.manifest:
+        # one augmentation-free epoch over the FULL manifest: every unique
+        # image exactly once (flips off, no train/val filtering) — the
+        # standard FID protocol's real-side statistics.
+        from objgan_tpu.data.pipeline import CocoFeed, load_records_json
+        from objgan_tpu.data.tokenizer import Vocab as _Vocab
+
+        all_recs = load_records_json(args.manifest)
+        vocab_all = _Vocab.build(c for r in all_recs for c in r["captions"])
+        full_feed = CocoFeed(cfg, all_recs, vocab_all, seed=cfg.RNG_SEED,
+                             augment=False)
+        reals, seen = [], 0
+        for batch in iter(full_feed):
+            reals.append(np.asarray(batch["images"][-1]))
+            seen += reals[-1].shape[0]
+            if seen >= len(all_recs):
+                break
+        n_real_unique = len(all_recs)
+
     fid, (is_m, is_s) = compute_fid_is(reals, fakes, extractor)
     rp = r_precision(np.concatenate(sents), np.concatenate(globals_))
     n = sum(f.shape[0] for f in fakes)
@@ -147,6 +174,9 @@ def main():
     rp_tag = "" if encoders_trained else (
         " [untrained encoders — meaningless until DAMSM is pretrained]")
     print(f"eval over {n} samples [{mode}]")
+    if n_real_unique is not None:
+        print(f"real-side FID statistics: full manifest, {n_real_unique} "
+              f"unique images (augmentation-free)")
     if n < 2048:
         print(f"NOTE: FID over {n} samples is a relative/debug number — "
               f"the covariance estimate needs thousands of samples "
