@@ -286,7 +286,8 @@ def load_damsm_encoders(cfg: Config, rng, first):
         return None, None
     trainer = DamsmTrainer(cfg)
     batch = dict(first)
-    batch["images"] = [first["images"][-1]]
+    if "images" in batch:  # wire batches (image_u8) are handled by init_state
+        batch["images"] = [batch["images"][-1]]
     with _host_cpu():
         state = trainer.init_state(rng, batch)
         manager = ckpt.make_manager(path)
@@ -442,10 +443,13 @@ def pretrain_damsm(cfg: Config, data_iter: Optional[Iterator] = None,
 
     smooth = cfg.TRAIN.SMOOTH
 
+    from objgan_tpu.data.wire import from_wire
+
     @jax.jit
     def _attn_diag(state_now, batch):
         """Per-pair word->region attention for matched (caption i, image i):
         the (B, B, T, L) tensor words_loss already computes, diagonal only."""
+        batch = from_wire(cfg, batch)  # --wire batches carry image_u8
         words, _ = trainer.text_enc.apply(
             state_now.text_params, batch["captions"], batch["cap_lens"])
         regions, _ = trainer.img_enc.apply(
@@ -456,13 +460,22 @@ def pretrain_damsm(cfg: Config, data_iter: Optional[Iterator] = None,
         idx = jax.numpy.arange(attns.shape[0])
         return attns[idx, idx]  # (B, T, L)
 
+    # host-side (numpy) background image: eager from_wire would dispatch
+    # tiny device programs through the slow remote-compile relay
+    from objgan_tpu.data.wire import WIRE_IMAGE
+
+    if WIRE_IMAGE in first:
+        first_img = np.asarray(first[WIRE_IMAGE], np.float32) / 127.5 - 1.0
+    else:
+        first_img = np.asarray(first["images"][-1])
+
     def snapshot(state_now, step):
         diag = np.asarray(_attn_diag(state_now, first))  # (B, T, L)
         b, t, l = diag.shape
         r = int(round(l ** 0.5))
         maps = diag.reshape(b, t, r, r).transpose(0, 2, 3, 1)  # (B,h,w,T)
         grid = build_super_images(
-            np.asarray(first["images"][-1]), maps,
+            first_img, maps,
             captions=np.asarray(first["captions"]),
             cap_lens=np.asarray(first["cap_lens"]),
             ixtoword=ixtoword,
