@@ -84,6 +84,18 @@ def main():
                          "of the uint8 wire format (for the A/B row)")
     args = ap.parse_args()
 
+    # Full (non-quick) runs default to the round-3 reporting surface: cost
+    # analysis (roofline extras) and, when the checked-in procedural
+    # manifest is present, the real-data wire-feed measurement — so the
+    # driver's plain `python bench.py` records both in BENCH_r{N}.json.
+    if not args.quick:
+        args.analyze = True
+        default_manifest = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "data_proc2k", "manifest.json")
+        if args.feed is None and os.path.exists(default_manifest):
+            args.feed = default_manifest
+
     from objgan_tpu.core.config import Config, tiny_test_config
     from objgan_tpu.data.synthetic import synthetic_batch
     from objgan_tpu.train.gan import GanTrainer
