@@ -53,12 +53,19 @@ class MetricsWriter:
             with self._tb.as_default():
                 for k, v in metrics.items():
                     tf.summary.scalar(k, float(v), step=step)
-        first = not getattr(self, "_printed_once", False)
-        if first or step % self.print_every == 0:
-            self._printed_once = True
+        # print/flush cadence keys off steps SINCE THE LAST PRINT, not step
+        # divisibility: _run_loop writes rows at ~K*ceil(50/K)-step strides,
+        # and `step % print_every == 0` almost never hits such a stride (a
+        # 56-step stride meets a multiple of 100 every 1400 steps) — which
+        # once silenced all training output past step 400 while checkpoints
+        # kept landing. Rows are already throttled by the caller; the CSV is
+        # flushed every row so progress is always observable on disk.
+        self._file.flush()
+        last = getattr(self, "_last_printed", None)
+        if last is None or step - last >= self.print_every:
+            self._last_printed = step
             parts = " ".join(f"{k}={float(v):.4g}" for k, v in metrics.items())
             print(f"[step {step}] {parts}", flush=True)
-            self._file.flush()
 
     def close(self) -> None:
         if self._file is not None:
