@@ -143,7 +143,11 @@ class ObjConfig:
     # (sketch-RNN-style correlated (x,y)/(w,h) bivariate blocks; ops/gmm.py
     # module doc). Held-out ablation on the shakedown manifest decides the
     # default (BASELINE.md round-3 GMM row).
-    GMM_MODE: str = "diag"
+    # "corr" (default): sketch-RNN-style correlated (x,y)/(w,h) bivariate
+    # blocks — won the round-3 held-out ablation on the 2k procedural
+    # manifest (NLL -3.19 vs -2.83 diag, sample label-TV 0.057 vs 0.127;
+    # BASELINE.md round-3 GMM table). "diag": independent 4-D components.
+    GMM_MODE: str = "corr"
     SHAPE_SIZE: int = 64        # per-object mask resolution from stage B
 
 

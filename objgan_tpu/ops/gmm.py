@@ -6,7 +6,11 @@ reference tree unavailable — SURVEY.md §2.1 "Box decoder"). Two covariance
 structures, switched by ``cfg.OBJ.GMM_MODE`` (VERDICT r2 missing #1):
 
   * ``"diag"`` — independent 4-D components (round-1/2 behavior).
-  * ``"corr"`` — sketch-RNN-style correlated bivariate blocks: (x, y) and
+  * ``"corr"`` — THE DEFAULT since round 3: won the held-out ablation on
+    the 2k procedural manifest (NLL -3.19 vs -2.83 for diag, sample-mode
+    label TV-distance 0.057 vs 0.127 — BASELINE.md round-3 GMM table),
+    and matches the survey's sketch-RNN lineage spec.
+    Sketch-RNN-style correlated bivariate blocks: (x, y) and
     (w, h) each get a tanh-bounded correlation ρ per component, capturing
     the strong geometric coupling in box data (w↔h aspect ratio, position↔
     size edge constraints) that a diagonal mixture cannot express. The
