@@ -58,6 +58,21 @@ def _out_dir(cfg: Config, stage: str) -> str:
     return d
 
 
+def _already_trained(out: str, stage: str, max_steps: int) -> bool:
+    """Fast no-op for segmented recipes: when the stage's latest checkpoint
+    already satisfies ``max_steps``, skip model init/restore entirely (a
+    full-size init costs minutes on a 1-core host, so restart-and-resume
+    scripts would otherwise pay it for every completed phase)."""
+    if max_steps >= 10**9:
+        return False
+    latest = ckpt.latest_step_in(os.path.join(out, "ckpt"))
+    if latest is not None and latest >= max_steps:
+        print(f"{stage}: checkpoint at step {latest} >= max_steps "
+              f"{max_steps}; nothing to do")
+        return True
+    return False
+
+
 def apply_epoch_schedule(cfg: Config, n_records: int, max_steps: int):
     """Convert the lineage's epoch-denominated knobs into steps once the
     dataset size is known (reference semantics: ``for epoch in
@@ -309,6 +324,8 @@ def train_gan(cfg: Config, data_iter: Optional[Iterator] = None,
     from objgan_tpu.utils.visualize import build_super_images, save_png
 
     out = _out_dir(cfg, "gan")
+    if _already_trained(out, "gan", max_steps):
+        return
     trainer = GanTrainer(cfg)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
     feed = _feed(cfg, data_iter, rng)
@@ -428,6 +445,8 @@ def pretrain_damsm(cfg: Config, data_iter: Optional[Iterator] = None,
     from objgan_tpu.utils.visualize import build_super_images, save_png
 
     out = _out_dir(cfg, "damsm")
+    if _already_trained(out, "damsm", max_steps):
+        return
     trainer = DamsmTrainer(cfg)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
     feed = _finest_scale_only(_feed(cfg, data_iter, rng))
@@ -492,6 +511,8 @@ def train_box(cfg: Config, data_iter: Optional[Iterator] = None,
     from objgan_tpu.train.box import BoxTrainer
 
     out = _out_dir(cfg, "box")
+    if _already_trained(out, "box", max_steps):
+        return
     trainer = BoxTrainer(cfg)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
     feed = _feed(cfg, data_iter, rng, with_images=False)
@@ -649,6 +670,8 @@ def train_shape(cfg: Config, data_iter: Optional[Iterator] = None,
     from objgan_tpu.train.shape import ShapeTrainer
 
     out = _out_dir(cfg, "shape")
+    if _already_trained(out, "shape", max_steps):
+        return
     trainer = ShapeTrainer(cfg)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
     feed = _feed(cfg, data_iter, rng, with_images=False)

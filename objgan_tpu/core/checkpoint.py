@@ -35,6 +35,18 @@ def make_manager(directory: str, max_to_keep: int = 3):
     )
 
 
+def latest_step_in(directory: str) -> Optional[int]:
+    """Newest COMPLETED checkpoint step in ``directory`` by filesystem scan
+    — no manager construction and, crucially, no model init, so callers can
+    decide "already trained past max_steps?" in milliseconds. Orbax step
+    dirs are bare integers; `*.orbax-checkpoint-tmp` leftovers from
+    interrupted async saves are ignored."""
+    if not os.path.isdir(directory):
+        return None
+    steps = [int(n) for n in os.listdir(directory) if n.isdigit()]
+    return max(steps) if steps else None
+
+
 def save(manager, step: int, state: Any) -> None:
     import orbax.checkpoint as ocp
 
