@@ -243,9 +243,16 @@ def roi_align(
 
     Resolved at *lowering* time via ``lax.platform_dependent`` so the same
     traced program works whether it lands on TPU or CPU (e.g. CPU-side param
-    init while the default backend is TPU)."""
+    init while the default backend is TPU). The kernel's (R, R, C) block
+    stores fold minor dims into lanes, so Mosaic requires C to be a
+    multiple of 128 (sub-128 C is a hard "unsupported shape cast" compile
+    error — hit by tiny test dims, C=32); ineligible shapes take the XLA
+    einsum on every platform. Production ObjectDNet widths (DF_DIM*4 =
+    256) stay on the kernel."""
     if INTERPRET:
         return roi_align_pallas(features, boxes, out_size, sampling_ratio)
+    if features.shape[-1] % 128 != 0:
+        return roi_align_xla(features, boxes, out_size, sampling_ratio)
     return jax.lax.platform_dependent(
         features,
         boxes,
