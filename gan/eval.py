@@ -145,26 +145,29 @@ def main():
         globals_.append(np.asarray(gfeat))
 
     n_real_unique = None
+    real_batches = reals
     if args.real_stats == "all" and args.manifest:
         # one augmentation-free epoch over the FULL manifest: every unique
         # image exactly once (flips off, no train/val filtering) — the
-        # standard FID protocol's real-side statistics.
+        # standard FID protocol's real-side statistics. Batches straddle
+        # the epoch boundary when BATCH_SIZE does not divide the manifest,
+        # so the trailing batch is truncated (its tail rows are epoch-2
+        # duplicates); and the epoch is streamed as a generator so only
+        # feature vectors, never the whole dataset's float32 pixels, are
+        # resident (real-COCO scale would otherwise be tens of GB).
         from objgan_tpu.data.pipeline import CocoFeed, load_records_json
         from objgan_tpu.data.tokenizer import Vocab as _Vocab
+
+        from objgan_tpu.utils.fid_runner import unique_epoch_images
 
         all_recs = load_records_json(args.manifest)
         vocab_all = _Vocab.build(c for r in all_recs for c in r["captions"])
         full_feed = CocoFeed(cfg, all_recs, vocab_all, seed=cfg.RNG_SEED,
                              augment=False)
-        reals, seen = [], 0
-        for batch in iter(full_feed):
-            reals.append(np.asarray(batch["images"][-1]))
-            seen += reals[-1].shape[0]
-            if seen >= len(all_recs):
-                break
         n_real_unique = len(all_recs)
+        real_batches = unique_epoch_images(full_feed, n_real_unique)
 
-    fid, (is_m, is_s) = compute_fid_is(reals, fakes, extractor)
+    fid, (is_m, is_s) = compute_fid_is(real_batches, fakes, extractor)
     rp = r_precision(np.concatenate(sents), np.concatenate(globals_))
     n = sum(f.shape[0] for f in fakes)
     # self-describing labels: lite/untrained numbers must not be mistaken

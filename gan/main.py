@@ -48,12 +48,19 @@ def build_feed(cfg, args, with_images=True):
         # multi-host: each process serves its strided dataset partition and
         # produces only its batch shard; parallel.shard_batch assembles the
         # global array (SURVEY.md §2.6). n_records stays GLOBAL so the epoch
-        # schedule matches single-host.
+        # schedule matches single-host. The distributed runtime MUST come up
+        # before the jax.process_count() probe below — process_count()
+        # initializes XLA, after which jax.distributed.initialize raises
+        # (sharding.py docstring); this is the first backend touch on every
+        # trainer CLI (they all feed through here).
         import jax
 
         from objgan_tpu.parallel.sharding import (
-            process_local_batch_slice, process_local_records,
+            maybe_initialize_distributed, process_local_batch_slice,
+            process_local_records,
         )
+
+        maybe_initialize_distributed()
 
         n_global = len(records)
         feed_cfg = cfg

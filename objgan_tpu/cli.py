@@ -156,29 +156,39 @@ class _PrefetchFeed:
         return False
 
     def _produce(self):
-        pending = []
-        it = iter(self._feed)
-        while not self._stop.is_set():
-            try:
-                b = next(it)
-            except StopIteration:
-                break
-            pending.append(b)
-            if len(pending) == self._spe:
-                item = ("exec", self._stack_put(pending))
-                pending = []
-                if not self._put(item):
+        # Any feed/transfer exception must reach the consumer: a dead
+        # producer with no sentinel leaves the main loop blocked forever in
+        # q.get() — a hang indistinguishable from the TPU-relay lost-RPC
+        # hang, which the shakedown watchdog would then kill/relaunch in an
+        # endless loop instead of surfacing the data error.
+        try:
+            pending = []
+            it = iter(self._feed)
+            while not self._stop.is_set():
+                try:
+                    b = next(it)
+                except StopIteration:
+                    break
+                pending.append(b)
+                if len(pending) == self._spe:
+                    item = ("exec", self._stack_put(pending))
+                    pending = []
+                    if not self._put(item):
+                        return
+            for b in pending:
+                if not self._put(("tail", b)):
                     return
-        for b in pending:
-            if not self._put(("tail", b)):
-                return
-        self._put(("end", None))
+            self._put(("end", None))
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            self._put(("error", e))
 
     def __iter__(self):
         while True:
             kind, val = self._q.get()
             if kind == "end":
                 return
+            if kind == "error":
+                raise RuntimeError("prefetch feed failed") from val
             yield kind, val
 
     def close(self):

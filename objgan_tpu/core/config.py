@@ -139,10 +139,7 @@ class ObjConfig:
     ROI_SIZE: int = 7           # ROI-align output resolution (Fast R-CNN standard)
     LABEL_DIM: int = 300        # GloVe label embedding dim
     GMM_COMPONENTS: int = 20    # mixture components for the box distribution
-    # box-mixture covariance: "diag" (independent 4-D) or "corr"
-    # (sketch-RNN-style correlated (x,y)/(w,h) bivariate blocks; ops/gmm.py
-    # module doc). Held-out ablation on the shakedown manifest decides the
-    # default (BASELINE.md round-3 GMM row).
+    # box-mixture covariance (ops/gmm.py module doc):
     # "corr" (default): sketch-RNN-style correlated (x,y)/(w,h) bivariate
     # blocks — won the round-3 held-out ablation on the 2k procedural
     # manifest (NLL -3.19 vs -2.83 diag, sample label-TV 0.057 vs 0.127;

@@ -24,7 +24,8 @@ class _RecordTransform:
     """Picklable per-record map (runs in grain worker processes)."""
 
     def __init__(self, cfg: Config, vocab: Vocab, with_images: bool,
-                 augment: bool = True, image_root=None, wire: bool = False):
+                 augment: bool = True, image_root=None, wire: bool = False,
+                 cacheable: bool = False):
         self.feed = CocoFeed.__new__(CocoFeed)
         self.feed.cfg = cfg
         self.feed.vocab = vocab
@@ -32,8 +33,13 @@ class _RecordTransform:
         self.feed.augment = augment
         self.feed.wire = wire
         # shared across grain worker threads: a plain dict cache is safe in
-        # CPython (worst case both threads compute the same record once)
-        self.feed._cache = {} if wire else None
+        # CPython (worst case both threads compute the same record once).
+        # Only enabled when the whole dataset fits the CocoFeed cache policy
+        # (all-or-nothing, bounded by the caller) — and it is only correct
+        # when rec_id is a STABLE per-record key, not grain's global output
+        # index, which grows forever across epochs (zero hits + unbounded
+        # RSS) and names a different record each epoch after reshuffle.
+        self.feed._cache = {} if (wire and cacheable) else None
         self.feed.image_root = image_root or cfg.DATA_DIR
         self.feed.records = []
 
@@ -78,13 +84,18 @@ def grain_feed(
     # exhausted by validate_labels and silently yield an empty dataset
     validate_labels(cfg, records)
     transform = _RecordTransform(cfg, vocab, with_images, augment,
-                                 wire=wire)
+                                 wire=wire, cacheable=len(records) <= 8000)
+    # Source rows carry their stable dataset index: after shuffle+repeat,
+    # grain's map index is a forever-growing GLOBAL position that names a
+    # different record every epoch — useless (and wrong) as a cache key.
+    # The per-item seed keeps the global index so augmentation still varies
+    # across epochs while _wire_base caches by true record id.
     ds = (
-        gp.MapDataset.source(records)
+        gp.MapDataset.source(list(enumerate(records)))
         .seed(seed)
         .shuffle()
         .map_with_index(
-            lambda i, rec: transform((rec, seed * 100003 + i, i))
+            lambda i, row: transform((row[1], seed * 100003 + i, row[0]))
         )
     )
     if num_epochs is None:

@@ -209,17 +209,21 @@ class CocoFeed:
             masks[:n] = 1.0  # box == shape fallback
         return labels, boxes, valid, masks
 
-    def _encode_caption(self, rec: Dict, rng) -> tuple:
-        """Random caption pick + encode + <unk> word dropout (tokenizer
-        module doc: gives the <unk> embedding training signal)."""
-        cfg = self.cfg
-        cap = rec["captions"][rng.integers(len(rec["captions"]))]
-        caps, lens = self.vocab.encode(cap, cfg.TEXT.WORDS_NUM)
-        p_drop = cfg.TEXT.WORD_DROPOUT
+    def _word_dropout(self, caps: np.ndarray, lens: int, rng) -> np.ndarray:
+        """<unk> word dropout in-place on ``caps`` (tokenizer module doc:
+        gives the <unk> embedding training signal). Single definition for
+        both the classic and wire paths so the semantics cannot diverge."""
+        p_drop = self.cfg.TEXT.WORD_DROPOUT
         if self.augment and p_drop > 0 and self.vocab.unk is not None:
             drop = (rng.random(lens) < p_drop)
             caps[:lens][drop] = self.vocab.unk
-        return caps, lens
+        return caps
+
+    def _encode_caption(self, rec: Dict, rng) -> tuple:
+        """Random caption pick + encode + <unk> word dropout."""
+        cap = rec["captions"][rng.integers(len(rec["captions"]))]
+        caps, lens = self.vocab.encode(cap, self.cfg.TEXT.WORDS_NUM)
+        return self._word_dropout(caps, lens, rng), lens
 
     def _finest_u8(self, rec: Dict) -> Optional[np.ndarray]:
         """Finest-scale uint8 image (canonical orientation) for wire mode."""
@@ -268,11 +272,7 @@ class CocoFeed:
         cfg = self.cfg
         base = self._wire_base(rec, rec_id)
         caps, lens = base["enc"][rng.integers(len(base["enc"]))]
-        caps = caps.copy()
-        p_drop = cfg.TEXT.WORD_DROPOUT
-        if self.augment and p_drop > 0 and self.vocab.unk is not None:
-            drop = (rng.random(lens) < p_drop)
-            caps[:lens][drop] = self.vocab.unk
+        caps = self._word_dropout(caps.copy(), lens, rng)
         flip = bool(self.augment and rng.random() < 0.5)
         boxes, masks = base["boxes"], base["masks_u8"]
         if flip:

@@ -60,6 +60,27 @@ def make_lite_extractor(cfg, params=None, rng=None):
     return lambda images: extract(params, images), params
 
 
+def unique_epoch_images(feed, n_unique: int):
+    """Stream exactly ``n_unique`` finest-scale images from a feed, one
+    batch at a time — the real-side statistics pass of the standard FID
+    protocol (every unique image exactly once).
+
+    Feeds iterate epochs back to back, so when the batch size does not
+    divide the dataset the trailing batch straddles the boundary and its
+    tail rows are epoch-2 duplicates; they are truncated here. Yielding
+    per-batch (rather than materializing the epoch) keeps residency at one
+    batch of pixels — at real-COCO scale a materialized float32 epoch is
+    tens of GB."""
+    seen = 0
+    for batch in iter(feed):
+        img = np.asarray(batch["images"][-1])
+        take = min(img.shape[0], n_unique - seen)
+        yield img[:take]
+        seen += take
+        if seen >= n_unique:
+            return
+
+
 def compute_fid_is(
     real_batches: Iterable[np.ndarray],
     fake_batches: Iterable[np.ndarray],

@@ -60,3 +60,27 @@ def test_strict_eval_refuses_without_weights():
     )
     assert r.returncode == 2
     assert "inception_pth" in r.stderr
+
+
+def test_unique_epoch_images_truncates_epoch_straddle():
+    """Real-side FID stats must see every unique image exactly once even
+    when BATCH_SIZE does not divide the dataset: feeds straddle the epoch
+    boundary, so the trailing batch carries epoch-2 duplicates that must be
+    truncated (round-3 review finding)."""
+    from objgan_tpu.utils.fid_runner import unique_epoch_images
+
+    class FakeFeed:
+        """5 records, batch 2 -> batches straddle: [0,1],[2,3],[4,0'],..."""
+
+        def __iter__(self):
+            order = [0, 1, 2, 3, 4, 0, 1, 2, 3, 4]
+            for i in range(0, len(order), 2):
+                ids = order[i:i + 2]
+                yield {"images": [np.asarray(ids, np.float32)
+                                  .reshape(-1, 1, 1, 1)
+                                  * np.ones((1, 4, 4, 3), np.float32)]}
+
+    got = list(unique_epoch_images(FakeFeed(), 5))
+    ids = np.concatenate([b[:, 0, 0, 0] for b in got])
+    assert sorted(ids.tolist()) == [0.0, 1.0, 2.0, 3.0, 4.0]
+    assert sum(b.shape[0] for b in got) == 5

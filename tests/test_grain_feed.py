@@ -44,3 +44,35 @@ def test_grain_feed_deterministic_per_seed(tiny_cfg):
     b = next(grain_feed(tiny_cfg, _records(), vocab, seed=7))
     np.testing.assert_array_equal(a["boxes"], b["boxes"])
     np.testing.assert_array_equal(a["captions"], b["captions"])
+
+
+def test_grain_wire_cache_keys_are_stable_across_epochs(tiny_cfg,
+                                                        monkeypatch):
+    """Wire-mode cache must key by the record's dataset index, not grain's
+    global output index (which grows forever across epochs and names a
+    different record each epoch after reshuffle): after several epochs the
+    cache holds exactly n_records entries — every epoch past the first is
+    all hits, and RSS is bounded (round-3 review finding)."""
+    import objgan_tpu.data.grain_feed as gf
+
+    created = []
+    orig = gf._RecordTransform
+
+    class Spy(orig):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            created.append(self)
+
+    monkeypatch.setattr(gf, "_RecordTransform", Spy)
+    recs = _records(6)
+    vocab = Vocab.build(["a cat number one two three four five"])
+    cfg = tiny_cfg.merged({"TRAIN": {"BATCH_SIZE": 2}})
+    for _ in gf.grain_feed(cfg, recs, vocab, seed=3, wire=True,
+                           num_epochs=3):
+        pass
+    (spy,) = created
+    cache = spy.feed._cache
+    assert cache is not None, "small dataset must enable the wire cache"
+    assert sorted(cache) == list(range(6)), (
+        f"expected one entry per record, got keys {sorted(cache)}"
+    )

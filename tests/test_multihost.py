@@ -27,6 +27,56 @@ def _free_port():
 
 
 @pytest.mark.slow
+def test_cli_initializes_distributed_before_backend(tmp_path):
+    """The PRODUCT path must bring up jax.distributed before anything
+    touches the backend: gan/main.py:build_feed probes jax.process_count()
+    (which initializes XLA), so it must call maybe_initialize_distributed()
+    first. Pre-fix, any trainer CLI under a cluster env died with
+    'initialize() must be called before any JAX computations' while the
+    hand-ordered multihost_worker.py test passed (round-3 review finding).
+    A 1-process cluster env over the real box_generation/train.py CLI
+    exercises exactly that ordering."""
+    from objgan_tpu.data.procedural import build_manifest
+
+    manifest = build_manifest(str(tmp_path), n_images=5, size=64, seed=3)
+    cfg_yml = tmp_path / "tiny.yml"
+    cfg_yml.write_text(
+        "CONFIG_NAME: mh_cli\n"
+        f"OUTPUT_DIR: {tmp_path}/out\n"
+        f"DATA_DIR: {tmp_path}\n"
+        "TREE: {BASE_SIZE: 16, BRANCH_NUM: 3}\n"
+        "TEXT: {EMBEDDING_DIM: 16, HIDDEN_DIM: 8, WORDS_NUM: 12, "
+        "VOCAB_SIZE: 256}\n"
+        "OBJ: {MAX_OBJECTS: 4, NUM_CLASSES: 81, LABEL_DIM: 16}\n"
+        "BOX: {RNN_SIZE: 16, INPUT_ENCODING_SIZE: 16, ATT_HID_SIZE: 16, MAX_SEQ_LENGTH: 4}\n"
+        "TRAIN: {BATCH_SIZE: 4, STEPS_PER_EXECUTION: 1}\n"
+    )
+    env = dict(os.environ)
+    env.update(
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{_free_port()}",
+        JAX_NUM_PROCESSES="1",
+        JAX_PROCESS_ID="0",
+        PYTHONPATH=_REPO,
+    )
+    bootstrap = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "import runpy, sys; sys.argv = sys.argv[1:]; "
+        "runpy.run_path(sys.argv[0], run_name='__main__')"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", bootstrap,
+         os.path.join(_REPO, "box_generation", "train.py"),
+         "--cfg", str(cfg_yml), "--manifest", manifest, "--max_steps", "2"],
+        env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, (
+        f"CLI failed under cluster env:\n{proc.stdout[-2000:]}\n"
+        f"{proc.stderr[-2000:]}"
+    )
+
+
+@pytest.mark.slow
 def test_two_process_dp_matches_single_process(tmp_path, tiny_cfg):
     port = _free_port()
     outs = [str(tmp_path / f"w{i}.npz") for i in range(2)]

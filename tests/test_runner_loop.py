@@ -186,3 +186,25 @@ def test_pretrain_damsm_writes_attention_grids(tmp_path, tiny_cfg):
     pngs = glob.glob(str(tmp_path / f"{cfg.CONFIG_NAME}_damsm" /
                          "attn_step*.png"))
     assert pngs, "no attention grid written by the snapshot hook"
+
+
+def test_prefetch_feed_propagates_producer_errors(tiny_cfg):
+    """A feed exception inside the prefetch producer thread must surface in
+    the consumer, not strand the main loop in q.get() forever (round-3
+    review: a silent producer death is indistinguishable from a TPU-relay
+    hang, so the shakedown watchdog would kill/relaunch endlessly instead
+    of reporting the data error)."""
+    from objgan_tpu import cli
+    from objgan_tpu.parallel.sharding import make_mesh
+
+    cfg = tiny_cfg.merged({"TRAIN": {"BATCH_SIZE": 8}})
+
+    def bad_feed():
+        yield synthetic_batch(cfg, jax.random.PRNGKey(0), with_images=False)
+        raise IOError("corrupt record")
+
+    pf = cli._PrefetchFeed(bad_feed(), make_mesh(), spe=2)
+    with pytest.raises(RuntimeError, match="prefetch feed failed"):
+        for _ in pf:
+            pass
+    pf.close()
