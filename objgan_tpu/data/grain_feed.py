@@ -78,13 +78,15 @@ def grain_feed(
     """Infinite (or ``num_epochs``-bounded) batch iterator via Grain."""
     import grain.python as gp
 
-    from objgan_tpu.data.pipeline import validate_labels
+    from objgan_tpu.data.pipeline import validate_labels, wire_cache_allowed
 
     records = list(records)  # materialize once: a one-shot iterator would be
     # exhausted by validate_labels and silently yield an empty dataset
     validate_labels(cfg, records)
-    transform = _RecordTransform(cfg, vocab, with_images, augment,
-                                 wire=wire, cacheable=len(records) <= 8000)
+    transform = _RecordTransform(
+        cfg, vocab, with_images, augment, wire=wire,
+        cacheable=wire_cache_allowed(cfg, len(records),
+                                     with_images=with_images))
     # Source rows carry their stable dataset index: after shuffle+repeat,
     # grain's map index is a forever-growing GLOBAL position that names a
     # different record every epoch — useless (and wrong) as a cache key.

@@ -100,16 +100,21 @@ class CocoFeed:
     ``wire=True`` emits the compact uint8 wire format (``data/wire.py``):
     finest-scale uint8 image + uint8 masks; trainers expand on device. In
     wire mode the deterministic per-record work (decode, resize,
-    rasterization, caption tokenization) is computed once and RAM-cached
-    (up to ``cache_limit`` records — beyond that every epoch recomputes),
+    rasterization, caption tokenization) is computed once and RAM-cached,
     which is what makes an 18-steps/s feed possible on this single-core
-    host (tools/profile_feed.py breakdown, BASELINE.md round 3).
+    host (tools/profile_feed.py breakdown, BASELINE.md round 3). The cache
+    is all-or-nothing, enabled when the dataset's predicted wire footprint
+    (per-record bytes are config-determined — see
+    :func:`wire_record_bytes`) fits a quarter of physical RAM, or an
+    explicit ``cache_limit`` record count when given. Real COCO
+    (~118k records ~= 28 GB at default dims) caches fully on any
+    >=112 GB host; beyond the budget every epoch recomputes.
     """
 
     def __init__(self, cfg: Config, records: Sequence[Dict], vocab: Vocab,
                  seed: int = 0, with_images: bool = True,
                  augment: bool = True, image_root: Optional[str] = None,
-                 wire: bool = False, cache_limit: int = 8000):
+                 wire: bool = False, cache_limit: Optional[int] = None):
         self.cfg = cfg
         self.records = list(records)
         self.vocab = vocab
@@ -118,7 +123,9 @@ class CocoFeed:
         self.augment = augment
         self.wire = wire
         self._cache: Optional[Dict[int, Dict]] = (
-            {} if wire and len(self.records) <= cache_limit else None
+            {} if wire and wire_cache_allowed(cfg, len(self.records),
+                                              cache_limit, with_images)
+            else None
         )
         self.image_root = image_root or cfg.DATA_DIR
         if not self.records:
@@ -365,6 +372,38 @@ class CocoFeed:
                 else:
                     batch[k] = np.stack([r[k] for r in rows])
             yield batch
+
+
+def wire_record_bytes(cfg: Config, with_images: bool = True) -> int:
+    """Predicted RAM bytes of one cached ``_wire_base`` entry — fully
+    config-determined (static shapes): finest-scale uint8 image + uint8
+    object masks + padded layout tensors + tokenized captions (nominal 5
+    captions/record, the COCO convention)."""
+    img = cfg.branch_sizes[-1] ** 2 * 3 if with_images else 0
+    masks = cfg.OBJ.MAX_OBJECTS * cfg.OBJ.SHAPE_SIZE ** 2
+    layout = cfg.OBJ.MAX_OBJECTS * (4 * 4 + 4 + 4)  # boxes f32 + label + valid
+    caps = 5 * (cfg.TEXT.WORDS_NUM * 4 + 8)
+    return img + masks + layout + caps
+
+
+def _physical_ram_bytes() -> int:
+    try:
+        return os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError):  # non-POSIX fallback: assume 16 GB
+        return 16 << 30
+
+
+def wire_cache_allowed(cfg: Config, n_records: int,
+                       cache_limit: Optional[int] = None,
+                       with_images: bool = True) -> bool:
+    """All-or-nothing wire-cache policy: an explicit ``cache_limit`` wins;
+    otherwise the dataset's predicted footprint must fit a quarter of
+    physical RAM (the budget leaves room for the prefetch queue, model
+    state mirrors, and the OS page cache serving image decode)."""
+    if cache_limit is not None:
+        return n_records <= cache_limit
+    budget = _physical_ram_bytes() // 4
+    return n_records * wire_record_bytes(cfg, with_images) <= budget
 
 
 def validate_labels(cfg: Config, records: Sequence[Dict]) -> None:

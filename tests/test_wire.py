@@ -148,3 +148,27 @@ class TestWireTraining:
         )
         # 5 batches at K=2 -> two stacked execs + one tail step = 5 steps
         assert int(final.step) == 5
+
+
+def test_wire_cache_policy_is_byte_budgeted(tiny_cfg, monkeypatch):
+    """The wire cache is gated by predicted footprint vs a quarter of
+    physical RAM (per-record bytes are config-determined), not a magic
+    record count: real COCO (~118k records, ~28 GB at default dims) must
+    cache fully on a large-RAM host, while a dataset that exceeds the
+    budget must disable the cache rather than grow without bound. An
+    explicit cache_limit still wins."""
+    import objgan_tpu.data.pipeline as pl
+
+    # per-record prediction: exact static parts (image + masks) dominate
+    b = pl.wire_record_bytes(tiny_cfg)
+    s = tiny_cfg.branch_sizes[-1]
+    assert b >= s * s * 3 + tiny_cfg.OBJ.MAX_OBJECTS * \
+        tiny_cfg.OBJ.SHAPE_SIZE ** 2
+
+    monkeypatch.setattr(pl, "_physical_ram_bytes", lambda: 128 << 30)
+    assert pl.wire_cache_allowed(tiny_cfg, 118_000)  # real-COCO scale fits
+    monkeypatch.setattr(pl, "_physical_ram_bytes", lambda: 4 << 20)
+    assert not pl.wire_cache_allowed(tiny_cfg, 118_000)
+    # explicit limit overrides the byte budget in both directions
+    assert pl.wire_cache_allowed(tiny_cfg, 118_000, cache_limit=200_000)
+    assert not pl.wire_cache_allowed(tiny_cfg, 118_000, cache_limit=100)
