@@ -74,11 +74,21 @@ def main():
     ap.add_argument("--remat", default=None, choices=["none", "stages"],
                     help="GAN.REMAT override for the train-step remat A/B "
                          "(BASELINE.md round-3 roofline experiment)")
+    ap.add_argument("--gf_dim", type=int, default=0,
+                    help="GAN.GF_DIM override (remat-at-scale A/B: larger "
+                         "models where activations exceed fusion-friendly "
+                         "VMEM are remat's claimed regime)")
+    ap.add_argument("--df_dim", type=int, default=0,
+                    help="GAN.DF_DIM override (see --gf_dim)")
     ap.add_argument("--feed", default=None,
                     help="dataset manifest: measure REAL-DATA sustained "
                          "training steps/s through the wire-format host "
                          "feed + prefetch pipeline (VERDICT r3 done-"
                          "criterion); extras get realdata_* keys")
+    ap.add_argument("--no_feed", action="store_true",
+                    help="skip the real-data feed measurement a full run "
+                         "defaults to (A/B probes that only need the "
+                         "synthetic train step)")
     ap.add_argument("--feed_classic", action="store_true",
                     help="with --feed: use the float32 classic feed instead "
                          "of the uint8 wire format (for the A/B row)")
@@ -93,7 +103,8 @@ def main():
         default_manifest = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "data_proc2k", "manifest.json")
-        if args.feed is None and os.path.exists(default_manifest):
+        if args.feed is None and not args.no_feed \
+                and os.path.exists(default_manifest):
             args.feed = default_manifest
 
     from objgan_tpu.core.config import Config, tiny_test_config
@@ -114,6 +125,10 @@ def main():
         cfg = cfg.merged({"GAN": {"UP_MODE": args.up_mode}})
     if args.remat:
         cfg = cfg.merged({"GAN": {"REMAT": args.remat}})
+    if args.gf_dim:
+        cfg = cfg.merged({"GAN": {"GF_DIM": args.gf_dim}})
+    if args.df_dim:
+        cfg = cfg.merged({"GAN": {"DF_DIM": args.df_dim}})
 
     rng = jax.random.PRNGKey(0)
     trainer = GanTrainer(cfg)

@@ -94,12 +94,13 @@ class GanConfig:
     B_ATTENTION: bool = True
     B_DCGAN: bool = False
     UP_MODE: str = "nearest"  # "nearest" (lineage) | "subpixel" (less HBM)
-    # "stages": rematerialize G attention stages + every D/encoder forward in
-    # the train step. Motivation: the round-3 roofline measured the fused
-    # adversarial step at the HBM roofline (845 GB/s achieved vs ~819 peak)
-    # with only ~23% MXU utilization — remat trades spare FLOPs for saved
-    # activation bytes. Measured on v5e before flipping any default
-    # (BASELINE.md round-3 remat table).
+    # "stages": rematerialize G attention stages + every D/encoder forward
+    # in the train step. Measured on v5e at BOTH default dims (+31%
+    # ms/step) and 4x width (+29%): XLA fusion already avoids
+    # materializing what remat refuses to store, so remat adds flops AND
+    # bytes (BASELINE.md round-3 remat tables). Keep "none" unless the
+    # config runs out of HBM — this switch is an OOM escape hatch, not a
+    # performance tool.
     REMAT: str = "none"       # "none" | "stages"
 
 
