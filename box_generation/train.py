@@ -17,7 +17,10 @@ def main():
     if args.manifest:
         from gan.main import build_feed
 
-        feed, n_records, _ = build_feed(cfg, args)
+        # Stage-A consumes captions + layouts only (train/box.py) — skip
+        # PNG decode + pyramid build entirely (they were ~2/3 of the host
+        # cost per batch; BASELINE.md r3 layout-only feed row)
+        feed, n_records, _ = build_feed(cfg, args, with_images=False)
     cfg, max_steps = cli.apply_epoch_schedule(cfg, n_records, args.max_steps)
     cli.train_box(cfg, feed, max_steps=max_steps)
 

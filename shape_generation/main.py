@@ -41,7 +41,9 @@ def main():
     if args.manifest:
         from gan.main import build_feed
 
-        feed, n_records, _ = build_feed(cfg, args)
+        # Stage-B consumes layouts + instance masks, never photos
+        # (train/shape.py) — skip PNG decode + pyramid build
+        feed, n_records, _ = build_feed(cfg, args, with_images=False)
     cfg, max_steps = cli.apply_epoch_schedule(cfg, n_records, args.max_steps)
     cli.train_shape(cfg, feed, max_steps=max_steps)
 
