@@ -103,9 +103,10 @@ def main():
         default_manifest = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "data_proc2k", "manifest.json")
-        if args.feed is None and not args.no_feed \
-                and os.path.exists(default_manifest):
+        if args.feed is None and os.path.exists(default_manifest):
             args.feed = default_manifest
+    if args.no_feed:  # wins over both the default and an explicit --feed
+        args.feed = None
 
     from objgan_tpu.core.config import Config, tiny_test_config
     from objgan_tpu.data.synthetic import synthetic_batch

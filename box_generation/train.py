@@ -18,9 +18,10 @@ def main():
         from gan.main import build_feed
 
         # Stage-A consumes captions + layouts only (train/box.py) — skip
-        # PNG decode + pyramid build entirely (they were ~2/3 of the host
-        # cost per batch; BASELINE.md r3 layout-only feed row)
-        feed, n_records, _ = build_feed(cfg, args, with_images=False)
+        # PNG decode + pyramid build AND mask rasterization entirely
+        # (BASELINE.md r3 layout-only feed row)
+        feed, n_records, _ = build_feed(cfg, args, with_images=False,
+                                        with_masks=False)
     cfg, max_steps = cli.apply_epoch_schedule(cfg, n_records, args.max_steps)
     cli.train_box(cfg, feed, max_steps=max_steps)
 

@@ -16,11 +16,12 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def build_feed(cfg, args, with_images=True):
+def build_feed(cfg, args, with_images=True, with_masks=True):
     """Host feed from a manifest. Returns
     ``(feed_or_None, n_records, vocab_or_None)``. ``with_images=False``
-    skips PNG decode + pyramid build for consumers that only need
-    captions/layouts (e.g. Stage-A eval).
+    skips PNG decode + pyramid build, ``with_masks=False`` also skips
+    per-object mask rasterization, for consumers that only need
+    captions/layouts (Stage-A training/eval).
 
     ``cfg.B_VALIDATION`` is the train/held-out split switch (the reference's
     behavior of pointing eval at the test split): with it set, training
@@ -73,10 +74,10 @@ def build_feed(cfg, args, with_images=True):
             from objgan_tpu.data.grain_feed import grain_feed
 
             return grain_feed(feed_cfg, records, vocab, seed=cfg.RNG_SEED,
-                              with_images=with_images,
+                              with_images=with_images, with_masks=with_masks,
                               wire=wire), n_global, vocab
         return iter(CocoFeed(feed_cfg, records, vocab, seed=cfg.RNG_SEED,
-                             with_images=with_images,
+                             with_images=with_images, with_masks=with_masks,
                              wire=wire)), n_global, vocab
     return None, 0, None
 

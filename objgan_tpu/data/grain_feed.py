@@ -25,11 +25,12 @@ class _RecordTransform:
 
     def __init__(self, cfg: Config, vocab: Vocab, with_images: bool,
                  augment: bool = True, image_root=None, wire: bool = False,
-                 cacheable: bool = False):
+                 cacheable: bool = False, with_masks: bool = True):
         self.feed = CocoFeed.__new__(CocoFeed)
         self.feed.cfg = cfg
         self.feed.vocab = vocab
         self.feed.with_images = with_images
+        self.feed.with_masks = with_masks
         self.feed.augment = augment
         self.feed.wire = wire
         # shared across grain worker threads: a plain dict cache is safe in
@@ -74,6 +75,7 @@ def grain_feed(
     worker_count: int = 0,
     augment: bool = True,
     wire: bool = False,
+    with_masks: bool = True,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Infinite (or ``num_epochs``-bounded) batch iterator via Grain."""
     import grain.python as gp
@@ -84,9 +86,10 @@ def grain_feed(
     # exhausted by validate_labels and silently yield an empty dataset
     validate_labels(cfg, records)
     transform = _RecordTransform(
-        cfg, vocab, with_images, augment, wire=wire,
+        cfg, vocab, with_images, augment, wire=wire, with_masks=with_masks,
         cacheable=wire_cache_allowed(cfg, len(records),
-                                     with_images=with_images))
+                                     with_images=with_images,
+                                     with_masks=with_masks))
     # Source rows carry their stable dataset index: after shuffle+repeat,
     # grain's map index is a forever-growing GLOBAL position that names a
     # different record every epoch — useless (and wrong) as a cache key.

@@ -114,17 +114,24 @@ class CocoFeed:
     def __init__(self, cfg: Config, records: Sequence[Dict], vocab: Vocab,
                  seed: int = 0, with_images: bool = True,
                  augment: bool = True, image_root: Optional[str] = None,
-                 wire: bool = False, cache_limit: Optional[int] = None):
+                 wire: bool = False, cache_limit: Optional[int] = None,
+                 with_masks: bool = True):
         self.cfg = cfg
         self.records = list(records)
         self.vocab = vocab
         self.rng = np.random.default_rng(seed)
         self.with_images = with_images
+        # with_masks=False skips per-object mask rasterization and omits
+        # the "shapes"/wire-mask tensors entirely — for consumers that read
+        # only captions+layouts (Stage-A box training: masks would be ~99%
+        # of its layout-only cache bytes and dead host->device transfer)
+        self.with_masks = with_masks
         self.augment = augment
         self.wire = wire
         self._cache: Optional[Dict[int, Dict]] = (
             {} if wire and wire_cache_allowed(cfg, len(self.records),
-                                              cache_limit, with_images)
+                                              cache_limit, with_images,
+                                              with_masks)
             else None
         )
         self.image_root = image_root or cfg.DATA_DIR
@@ -202,6 +209,8 @@ class CocoFeed:
         labels[:n] = all_labels[order]
         boxes[:n] = all_boxes[order]
         valid[:n] = 1.0
+        if not self.with_masks:
+            return labels, boxes, valid, None
         if rec.get("masks") is not None:
             m = np.asarray(rec["masks"], np.float32)[order]
             masks[:n] = m if m.shape[-1] == s else np.stack(
@@ -265,8 +274,9 @@ class CocoFeed:
             "enc": [self.vocab.encode(c, cfg.TEXT.WORDS_NUM)
                     for c in rec["captions"]],
             "labels": labels, "boxes": boxes, "valid": valid,
-            "masks_u8": (masks > 0.5).astype(np.uint8),
         }
+        if masks is not None:
+            base["masks_u8"] = (masks > 0.5).astype(np.uint8)
         if self.with_images:
             base["image_u8"] = self._finest_u8(rec)
         if self._cache is not None:
@@ -281,21 +291,23 @@ class CocoFeed:
         caps, lens = base["enc"][rng.integers(len(base["enc"]))]
         caps = self._word_dropout(caps.copy(), lens, rng)
         flip = bool(self.augment and rng.random() < 0.5)
-        boxes, masks = base["boxes"], base["masks_u8"]
+        boxes, masks = base["boxes"], base.get("masks_u8")
         if flip:
             n = int(base["valid"].sum())
             boxes = boxes.copy()
             boxes[:n, 0] = 1.0 - boxes[:n, 0] - boxes[:n, 2]
-            masks = masks[:, :, ::-1]
+            if masks is not None:
+                masks = masks[:, :, ::-1]
         out = {
             "captions": caps,
             "cap_lens": np.int32(lens),
             "class_ids": np.int32(rec_id),
             "labels": base["labels"],
             "boxes": boxes,
-            WIRE_SHAPES: masks,
             "obj_valid": base["valid"],
         }
+        if masks is not None:
+            out[WIRE_SHAPES] = masks
         if self.with_images and base.get("image_u8") is not None:
             img = base["image_u8"]
             out[WIRE_IMAGE] = img[:, ::-1] if flip else img
@@ -314,7 +326,8 @@ class CocoFeed:
         flip = bool(self.augment and rng.random() < 0.5)
         if flip:
             boxes[:n, 0] = 1.0 - boxes[:n, 0] - boxes[:n, 2]
-            masks[:n] = masks[:n, :, ::-1]
+            if masks is not None:
+                masks[:n] = masks[:n, :, ::-1]
 
         out = {
             "captions": caps,
@@ -325,9 +338,10 @@ class CocoFeed:
             "class_ids": np.int32(rec_id),
             "labels": labels,
             "boxes": boxes,
-            "shapes": masks,
             "obj_valid": valid,
         }
+        if masks is not None:
+            out["shapes"] = masks
         if self.with_images:
             pyramid = self._file_pyramid(rec, flip)
             if pyramid is not None:
@@ -374,28 +388,46 @@ class CocoFeed:
             yield batch
 
 
-def wire_record_bytes(cfg: Config, with_images: bool = True) -> int:
+def wire_record_bytes(cfg: Config, with_images: bool = True,
+                      with_masks: bool = True) -> int:
     """Predicted RAM bytes of one cached ``_wire_base`` entry — fully
     config-determined (static shapes): finest-scale uint8 image + uint8
     object masks + padded layout tensors + tokenized captions (nominal 5
     captions/record, the COCO convention)."""
     img = cfg.branch_sizes[-1] ** 2 * 3 if with_images else 0
-    masks = cfg.OBJ.MAX_OBJECTS * cfg.OBJ.SHAPE_SIZE ** 2
+    masks = cfg.OBJ.MAX_OBJECTS * cfg.OBJ.SHAPE_SIZE ** 2 if with_masks else 0
     layout = cfg.OBJ.MAX_OBJECTS * (4 * 4 + 4 + 4)  # boxes f32 + label + valid
     caps = 5 * (cfg.TEXT.WORDS_NUM * 4 + 8)
     return img + masks + layout + caps
 
 
 def _physical_ram_bytes() -> int:
+    """Memory actually available to this process: host physical RAM,
+    clamped by the cgroup limit when running in a container (sysconf sees
+    the host's RAM, not the cgroup's — a 16 GB-limited container on a
+    256 GB host must budget against 16 GB or the cache gets OOM-killed)."""
     try:
-        return os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
-    except (ValueError, OSError):  # non-POSIX fallback: assume 16 GB
-        return 16 << 30
+        ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        if ram <= 0:  # sysconf returns -1 (no exception) for indeterminate
+            ram = 16 << 30
+    except (AttributeError, ValueError, OSError):  # non-POSIX fallback
+        ram = 16 << 30
+    for limit_file in ("/sys/fs/cgroup/memory.max",              # cgroup v2
+                       "/sys/fs/cgroup/memory/memory.limit_in_bytes"):  # v1
+        try:
+            raw = open(limit_file).read().strip()
+            if raw.isdigit():
+                ram = min(ram, int(raw))
+            break
+        except OSError:
+            continue
+    return ram
 
 
 def wire_cache_allowed(cfg: Config, n_records: int,
                        cache_limit: Optional[int] = None,
-                       with_images: bool = True) -> bool:
+                       with_images: bool = True,
+                       with_masks: bool = True) -> bool:
     """All-or-nothing wire-cache policy: an explicit ``cache_limit`` wins;
     otherwise the dataset's predicted footprint must fit a quarter of
     physical RAM (the budget leaves room for the prefetch queue, model
@@ -403,7 +435,8 @@ def wire_cache_allowed(cfg: Config, n_records: int,
     if cache_limit is not None:
         return n_records <= cache_limit
     budget = _physical_ram_bytes() // 4
-    return n_records * wire_record_bytes(cfg, with_images) <= budget
+    per = wire_record_bytes(cfg, with_images, with_masks)
+    return n_records * per <= budget
 
 
 def validate_labels(cfg: Config, records: Sequence[Dict]) -> None:

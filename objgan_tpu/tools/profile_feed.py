@@ -58,8 +58,13 @@ def main():
     feed = CocoFeed(cfg, records, vocab, seed=0, wire=args.wire)
     b = cfg.TRAIN.BATCH_SIZE
     if args.wire:  # pre-fill the deterministic cache so timings are steady
-        for i, r in enumerate(records):
-            feed._wire_base(r, i)
+        if feed._cache is None:
+            print("NOTE: wire cache disabled by the byte-budget policy "
+                  "(dataset footprint exceeds a quarter of RAM) — the "
+                  "timings below are the cache-COLD recompute path")
+        else:
+            for i, r in enumerate(records):
+                feed._wire_base(r, i)
 
     # -- 1. per-record transform --------------------------------------
     rng = np.random.default_rng(0)

@@ -172,3 +172,37 @@ def test_wire_cache_policy_is_byte_budgeted(tiny_cfg, monkeypatch):
     # explicit limit overrides the byte budget in both directions
     assert pl.wire_cache_allowed(tiny_cfg, 118_000, cache_limit=200_000)
     assert not pl.wire_cache_allowed(tiny_cfg, 118_000, cache_limit=100)
+
+
+def test_with_masks_false_skips_rasterization(tiny_cfg):
+    """Stage-A consumes captions+layouts only: with_masks=False must omit
+    the mask tensors in both classic and wire modes (no rasterization, no
+    dead host->device bytes) while leaving labels/boxes/valid identical."""
+    from objgan_tpu.data.pipeline import CocoFeed, wire_record_bytes
+    from objgan_tpu.data.tokenizer import Vocab
+    from objgan_tpu.data.wire import WIRE_SHAPES
+
+    rng = np.random.default_rng(0)
+    recs = []
+    for i in range(4):
+        k = int(rng.integers(1, 4))
+        recs.append({
+            "captions": [f"a cat number {i}"],
+            "labels": rng.integers(1, 6, k).tolist(),
+            "boxes": rng.uniform(0.1, 0.4, (k, 4)).tolist(),
+            "polygons": [rng.uniform(0, 1, (5, 2)) for _ in range(k)],
+        })
+    vocab = Vocab.build(["a cat number one two three"])
+    cfg = tiny_cfg.merged({"TRAIN": {"BATCH_SIZE": 4}})
+    for wire in (False, True):
+        full = next(iter(CocoFeed(cfg, recs, vocab, seed=1, wire=wire,
+                                  with_images=False, augment=False)))
+        lean = next(iter(CocoFeed(cfg, recs, vocab, seed=1, wire=wire,
+                                  with_images=False, with_masks=False,
+                                  augment=False)))
+        mask_key = WIRE_SHAPES if wire else "shapes"
+        assert mask_key in full and mask_key not in lean
+        for k in ("labels", "boxes", "obj_valid", "captions"):
+            np.testing.assert_array_equal(full[k], lean[k], err_msg=k)
+    assert wire_record_bytes(cfg, False, False) < \
+        wire_record_bytes(cfg, False, True)
