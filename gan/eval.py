@@ -146,6 +146,7 @@ def main():
 
     n_real_unique = None
     real_batches = reals
+    real_stats = None
     if args.real_stats == "all" and args.manifest:
         # one augmentation-free epoch over the FULL manifest: every unique
         # image exactly once (flips off, no train/val filtering) — the
@@ -154,20 +155,45 @@ def main():
         # so the trailing batch is truncated (its tail rows are epoch-2
         # duplicates); and the epoch is streamed as a generator so only
         # feature vectors, never the whole dataset's float32 pixels, are
-        # resident (real-COCO scale would otherwise be tens of GB).
+        # resident (real-COCO scale would otherwise be tens of GB). The
+        # resulting (mu, cov) are cached on disk next to the manifest —
+        # they are identical for every checkpoint evaluated on it, so a
+        # 13-point quality curve pays the full-manifest pass once.
+        import hashlib
+
         from objgan_tpu.data.pipeline import CocoFeed, load_records_json
         from objgan_tpu.data.tokenizer import Vocab as _Vocab
-
-        from objgan_tpu.utils.fid_runner import unique_epoch_images
+        from objgan_tpu.utils.fid_runner import (
+            real_activation_stats, unique_epoch_images,
+        )
 
         all_recs = load_records_json(args.manifest)
-        vocab_all = _Vocab.build(c for r in all_recs for c in r["captions"])
-        full_feed = CocoFeed(cfg, all_recs, vocab_all, seed=cfg.RNG_SEED,
-                             augment=False)
         n_real_unique = len(all_recs)
-        real_batches = unique_epoch_images(full_feed, n_real_unique)
+        # the lite extractor's feature space depends on the encoder dims
+        # (deterministic init from cfg) — key them so a dim change can
+        # never silently reuse stale statistics
+        key = hashlib.sha1("|".join([
+            os.path.abspath(args.manifest), str(n_real_unique), mode,
+            str(cfg.branch_sizes[-1]), str(cfg.TEXT.EMBEDDING_DIM),
+        ]).encode()).hexdigest()[:16]
+        cache_path = os.path.join(
+            os.path.dirname(os.path.abspath(args.manifest)),
+            f".fid_real_stats_{key}.npz")
+        if os.path.exists(cache_path):
+            z = np.load(cache_path)
+            real_stats = (z["mu"], z["cov"])
+            print(f"real-side stats: cached ({cache_path})")
+        else:
+            vocab_all = _Vocab.build(
+                c for r in all_recs for c in r["captions"])
+            full_feed = CocoFeed(cfg, all_recs, vocab_all,
+                                 seed=cfg.RNG_SEED, augment=False)
+            real_stats = real_activation_stats(
+                unique_epoch_images(full_feed, n_real_unique), extractor)
+            np.savez(cache_path, mu=real_stats[0], cov=real_stats[1])
 
-    fid, (is_m, is_s) = compute_fid_is(real_batches, fakes, extractor)
+    fid, (is_m, is_s) = compute_fid_is(real_batches, fakes, extractor,
+                                       real_stats=real_stats)
     rp = r_precision(np.concatenate(sents), np.concatenate(globals_))
     n = sum(f.shape[0] for f in fakes)
     # self-describing labels: lite/untrained numbers must not be mistaken

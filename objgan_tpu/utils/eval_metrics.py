@@ -26,21 +26,33 @@ def _sqrtm_psd(mat: np.ndarray) -> np.ndarray:
     return (vecs * np.sqrt(vals)) @ vecs.T
 
 
+def activation_stats(feats: np.ndarray,
+                     eps: float = 1e-6) -> Tuple[np.ndarray, np.ndarray]:
+    """(mu, regularized covariance) of an activation set (N, D) — the
+    sufficient statistics of one FID side (cacheable: the real side is
+    identical across every checkpoint evaluated on the same manifest)."""
+    f = np.asarray(feats, np.float64)
+    return f.mean(0), np.cov(f, rowvar=False) + eps * np.eye(f.shape[1])
+
+
+def frechet_from_stats(mu_a: np.ndarray, cov_a: np.ndarray,
+                       mu_b: np.ndarray, cov_b: np.ndarray) -> float:
+    """FID from per-side sufficient statistics: ||mu_a - mu_b||^2 +
+    Tr(Ca + Cb - 2 sqrt(sqrt(Ca) Cb sqrt(Ca)))."""
+    sa = _sqrtm_psd(cov_a)
+    covmean = _sqrtm_psd(sa @ cov_b @ sa)
+    diff = mu_a - mu_b
+    return float(diff @ diff + np.trace(cov_a) + np.trace(cov_b)
+                 - 2.0 * np.trace(covmean))
+
+
 def frechet_distance(
     feats_a: np.ndarray, feats_b: np.ndarray, eps: float = 1e-6
 ) -> float:
-    """FID between two activation sets (N, D): ||mu_a - mu_b||^2 +
-    Tr(Ca + Cb - 2 sqrt(sqrt(Ca) Cb sqrt(Ca)))."""
-    a = np.asarray(feats_a, np.float64)
-    b = np.asarray(feats_b, np.float64)
-    mu_a, mu_b = a.mean(0), b.mean(0)
-    ca = np.cov(a, rowvar=False) + eps * np.eye(a.shape[1])
-    cb = np.cov(b, rowvar=False) + eps * np.eye(b.shape[1])
-    sa = _sqrtm_psd(ca)
-    covmean = _sqrtm_psd(sa @ cb @ sa)
-    diff = mu_a - mu_b
-    return float(diff @ diff + np.trace(ca) + np.trace(cb)
-                 - 2.0 * np.trace(covmean))
+    """FID between two activation sets (N, D)."""
+    mu_a, ca = activation_stats(feats_a, eps)
+    mu_b, cb = activation_stats(feats_b, eps)
+    return frechet_from_stats(mu_a, ca, mu_b, cb)
 
 
 def inception_score(

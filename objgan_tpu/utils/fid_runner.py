@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from objgan_tpu.utils.eval_metrics import frechet_distance, inception_score
+from objgan_tpu.utils.eval_metrics import inception_score
 
 
 def make_inception_extractor(params=None, rng=None):
@@ -81,28 +81,54 @@ def unique_epoch_images(feed, n_unique: int):
             return
 
 
+def real_activation_stats(
+    real_batches: Iterable[np.ndarray], extractor: Callable,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stream real batches through the extractor and reduce to the FID
+    sufficient statistics (mu, cov) — the cacheable real side."""
+    from objgan_tpu.utils.eval_metrics import activation_stats
+
+    acts = [np.asarray(extractor(jnp.asarray(b))[0]) for b in real_batches]
+    ra = np.concatenate(acts)
+    if float(ra.std()) < 1e-6:
+        print(
+            "WARNING: degenerate (near-constant) real activations — the "
+            "feature extractor is probably untrained (load converted "
+            "Inception weights for meaningful FID).", flush=True,
+        )
+    return activation_stats(ra)
+
+
 def compute_fid_is(
     real_batches: Iterable[np.ndarray],
     fake_batches: Iterable[np.ndarray],
     extractor: Callable,
+    real_stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> Tuple[float, Tuple[float, float]]:
-    """Stream batches through the extractor; returns (fid, (is_mean, is_std))."""
-    real_acts, fake_acts, fake_probs = [], [], []
-    for b in real_batches:
-        acts, _ = extractor(jnp.asarray(b))
-        real_acts.append(np.asarray(acts))
+    """Stream batches through the extractor; returns (fid, (is_mean, is_std)).
+
+    ``real_stats=(mu, cov)`` skips the real-side pass entirely — the real
+    statistics are identical across every checkpoint evaluated on the same
+    manifest, so eval loops compute them once (gan/eval.py caches them on
+    disk next to the manifest)."""
+    from objgan_tpu.utils.eval_metrics import activation_stats, \
+        frechet_from_stats
+
+    if real_stats is None:
+        real_stats = real_activation_stats(real_batches, extractor)
+    fake_acts, fake_probs = [], []
     for b in fake_batches:
         acts, probs = extractor(jnp.asarray(b))
         fake_acts.append(np.asarray(acts))
         fake_probs.append(np.asarray(probs))
-    ra = np.concatenate(real_acts)
     fa = np.concatenate(fake_acts)
-    if float(ra.std()) < 1e-6 or float(fa.std()) < 1e-6:
+    if float(fa.std()) < 1e-6:
         print(
-            "WARNING: degenerate (near-constant) activations — the feature "
-            "extractor is probably untrained (load converted Inception "
-            "weights for meaningful FID).", flush=True,
+            "WARNING: degenerate (near-constant) fake activations — the "
+            "feature extractor is probably untrained (load converted "
+            "Inception weights for meaningful FID).", flush=True,
         )
-    fid = frechet_distance(ra, fa)
+    mu_f, cov_f = activation_stats(fa)
+    fid = frechet_from_stats(real_stats[0], real_stats[1], mu_f, cov_f)
     is_score = inception_score(np.concatenate(fake_probs))
     return fid, is_score

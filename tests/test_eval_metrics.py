@@ -84,3 +84,20 @@ def test_unique_epoch_images_truncates_epoch_straddle():
     ids = np.concatenate([b[:, 0, 0, 0] for b in got])
     assert sorted(ids.tolist()) == [0.0, 1.0, 2.0, 3.0, 4.0]
     assert sum(b.shape[0] for b in got) == 5
+
+
+def test_frechet_from_stats_matches_direct():
+    """The cached-real-side decomposition (activation_stats +
+    frechet_from_stats) must equal the direct two-set FID exactly — the
+    eval loop swaps between them depending on cache state."""
+    from objgan_tpu.utils.eval_metrics import (
+        activation_stats, frechet_distance, frechet_from_stats,
+    )
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(200, 16))
+    b = rng.normal(loc=0.3, size=(180, 16))
+    direct = frechet_distance(a, b)
+    via_stats = frechet_from_stats(*activation_stats(a),
+                                   *activation_stats(b))
+    np.testing.assert_allclose(via_stats, direct, rtol=1e-12)
