@@ -66,6 +66,12 @@ def main():
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--analyze", action="store_true",
                     help="XLA cost analysis: achieved vs peak FLOP/s")
+    ap.add_argument("--breakdown", action="store_true",
+                    help="per-stage device-loop decomposition of the "
+                         "sampling and train steps (utils/breakdown.py): "
+                         "where the milliseconds go, stage by stage. "
+                         "Compiles ~11 extra programs — minutes each on the "
+                         "remote-compile TPU path the first time")
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--k", type=int, default=0,
                     help="steps per execution for the sustained-train probe")
@@ -343,6 +349,22 @@ def main():
         extras["pipeline_e2e_images_per_sec_per_chip"] = round(
             batch_size / dt_pipe / max(n_chips, 1), 2
         )
+
+    if args.breakdown:
+        # per-stage decomposition (BASELINE.md round-3 "where the ms go"):
+        # every stage timed as its own chained device loop at production
+        # shapes with the real EMA params.
+        from objgan_tpu.utils.breakdown import (
+            sampling_breakdown, train_breakdown,
+        )
+
+        n_loop_bd = 4 if args.quick else 16
+        for k, v in sampling_breakdown(cfg, trainer, state, batch, keys[900],
+                                       n_loop=n_loop_bd).items():
+            extras[f"bd_sample_{k}"] = v
+        for k, v in train_breakdown(cfg, trainer, state, batch, keys[901],
+                                    n_loop=max(2, n_loop_bd // 2)).items():
+            extras[f"bd_train_{k}"] = v
 
     if args.feed:
         # real-data sustained training: wire-format CocoFeed + the

@@ -1,0 +1,230 @@
+"""Per-stage device-loop breakdown of the sampling and train steps.
+
+``bench.py --analyze`` (BASELINE.md round-3 rooflines) established THAT the
+sampling step is bandwidth-bound and the train step sits at the HBM
+roofline; this module answers WHERE the milliseconds go. Each model stage
+(text encoder, CA-net, layout rasterization+encoder, init stage, the two
+attention stages, the image heads; forward / G-backward / D-backward for
+training) is timed as its own device-side loop — N iterations chained
+inside ONE XLA program, the only timing methodology this container's TPU
+relay cannot distort (see bench.py:_bench and BASELINE.md's methodology
+note).
+
+Two artifacts the loops must defeat:
+  * XLA hoisting a loop-invariant body out of the ``fori_loop`` (the whole
+    measurement would collapse to one iteration): every iteration perturbs
+    its input by ``acc * 1e-30`` — numerically a no-op, but a real data
+    dependency on the previous iteration's output;
+  * relay dedup / early-ack of repeated executions: the final fenced value
+    depends on every iteration's output through the same ``acc`` chain.
+
+Per-stage sums are expected to EXCEED the fused whole-program time: stage
+boundaries materialize tensors to HBM that XLA's fusion keeps in VMEM/
+registers when the stages compile together. The gap is therefore a direct
+measurement of what whole-program fusion saves — see the round-3 table in
+BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def _dep(x: jnp.ndarray, acc: jnp.ndarray) -> jnp.ndarray:
+    """Add a numerically-invisible dependency on the carry (see module doc)."""
+    return x + (acc * 1e-30).astype(x.dtype)
+
+
+def _dep_tree(tree, acc):
+    """Thread the carry dependency through ONE leaf of a param tree (a
+    whole-tree perturbation would add a full param read+write of HBM
+    traffic per iteration to the measurement)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    return jax.tree.unflatten(treedef, [_dep(leaves[0], acc)] + leaves[1:])
+
+
+def _time_loop(fn: Callable, n_loop: int, trials: int = 3) -> float:
+    """ms per iteration of ``fn(i, acc) -> scalar`` run as one device loop."""
+
+    @jax.jit
+    def loop(seed):
+        def body(i, acc):
+            return acc + fn(i, acc).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, n_loop, body, seed)
+
+    jax.block_until_ready(loop(jnp.float32(0.0)))  # compile + warm
+    best = float("inf")
+    for t in range(trials):
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop(jnp.float32(t + 1) * 1e-6))
+        best = min(best, (time.perf_counter() - t0) / n_loop)
+    return best * 1e3
+
+
+def sampling_breakdown(cfg, trainer, state, batch, rng,
+                       n_loop: int = 16) -> Dict[str, float]:
+    """Stage-by-stage timing of the Stage-III sampling forward.
+
+    Reuses the REAL (EMA) parameters and a real batch so every stage runs
+    at its production shape. Returns ``{stage: ms}`` plus the per-stage sum.
+    """
+    from objgan_tpu.data.wire import from_wire
+    from objgan_tpu.models.generator import (
+        AttnStage, CANet, GetImageG, InitStageG, LayoutEncoder,
+    )
+    from objgan_tpu.ops import attention as att_ops
+    from objgan_tpu.ops import rasterize
+
+    batch = from_wire(cfg, batch)
+    dt = jnp.bfloat16 if cfg.DTYPE == "bfloat16" else jnp.float32
+    gf = cfg.GAN.GF_DIM
+    base = cfg.TREE.BASE_SIZE
+    gp = state.ema_g_params["params"]
+    b, t = batch["captions"].shape
+
+    # ---- one eager pass to materialize every stage's real input ----
+    caps, lens = batch["captions"], batch["cap_lens"]
+    words, sent = trainer.text_enc.apply(state.text_params, caps, lens)
+    word_mask = jnp.arange(t)[None] >= lens[:, None]
+    labels_emb = state.label_table[batch["labels"]]
+    k_z, k_ca = jax.random.split(rng)
+    z = jax.random.normal(k_z, (b, cfg.GAN.Z_DIM))
+
+    ca = CANet(cfg.GAN.CONDITION_DIM, dt)
+    c_code, _, _ = ca.apply({"params": gp["ca_net"]}, sent.astype(dt), k_ca)
+    z_c = jnp.concatenate([z.astype(dt), c_code], axis=-1)
+
+    shapes, boxes, obj_valid = (batch["shapes"], batch["boxes"],
+                                batch["obj_valid"])
+    shape_maps = rasterize.paste_masks(shapes, boxes, base, base)
+    canvas = att_ops.paste_object_context(
+        labels_emb.astype(dt),
+        shape_maps.reshape(*shape_maps.shape[:2], base * base).astype(dt),
+        obj_valid,
+    ).reshape(-1, base, base, labels_emb.shape[-1])
+    layout_enc = LayoutEncoder(gf * 8, 4, dt)
+    layout4 = layout_enc.apply({"params": gp["layout_enc"]}, canvas)
+    init_stage = InitStageG(gf, base, dt, cfg.GAN.UP_MODE)
+    h = {base: init_stage.apply({"params": gp["init_stage"]}, z_c, layout4)}
+    obj_query = jnp.concatenate([labels_emb.astype(dt), boxes.astype(dt)],
+                                axis=-1)
+    words_dt = words.astype(dt)
+
+    maps = {base: shape_maps}
+    stages = {}
+    res = base
+    for i in range(1, cfg.TREE.BRANCH_NUM):
+        if res != base:
+            b_, o_ = shape_maps.shape[:2]
+            maps[res] = jax.image.resize(
+                shape_maps.reshape(b_ * o_, base, base, 1),
+                (b_ * o_, res, res, 1), method="bilinear",
+            ).reshape(b_, o_, res, res)
+        stages[i] = (AttnStage(gf, cfg.GAN.R_NUM, dt, cfg.GAN.UP_MODE), res)
+        h[res * 2], _, _ = stages[i][0].apply(
+            {"params": gp[f"attn_stage{i}"]}, h[res], words_dt, word_mask,
+            obj_query, maps[res], obj_valid)
+        res *= 2
+
+    # ---- per-stage chained loops ----
+    out: Dict[str, float] = {}
+
+    def tsum(x):
+        return jnp.sum(jnp.asarray(x, jnp.float32))
+
+    def text_step(i, acc):
+        # integer inputs can't carry the float dependency; vary the batch
+        # order with the iteration index instead (same anti-hoisting effect)
+        idx = (jnp.arange(b) + i) % b
+        w, s = trainer.text_enc.apply(state.text_params, caps[idx], lens[idx])
+        return tsum(w) + acc * 1e-30
+
+    out["text_encoder_ms"] = _time_loop(text_step, n_loop)
+    out["ca_net_ms"] = _time_loop(
+        lambda i, acc: tsum(ca.apply(
+            {"params": gp["ca_net"]}, _dep(sent.astype(dt), acc),
+            jax.random.fold_in(k_ca, i))[0]), n_loop)
+    out["layout_paste_ms"] = _time_loop(
+        lambda i, acc: tsum(att_ops.paste_object_context(
+            labels_emb.astype(dt),
+            rasterize.paste_masks(_dep(shapes, acc), boxes, base, base)
+            .reshape(*shapes.shape[:2], base * base).astype(dt),
+            obj_valid)), n_loop)
+    out["layout_encoder_ms"] = _time_loop(
+        lambda i, acc: tsum(layout_enc.apply(
+            {"params": gp["layout_enc"]}, _dep(canvas, acc))), n_loop)
+    out[f"init_stage_{base}_ms"] = _time_loop(
+        lambda i, acc: tsum(init_stage.apply(
+            {"params": gp["init_stage"]}, _dep(z_c, acc), layout4)), n_loop)
+    for i, (stage, res_i) in stages.items():
+        out[f"attn_stage{i}_{res_i}to{res_i * 2}_ms"] = _time_loop(
+            lambda i_, acc, i=i, stage=stage, res_i=res_i: tsum(stage.apply(
+                {"params": gp[f"attn_stage{i}"]}, _dep(h[res_i], acc),
+                words_dt, word_mask, obj_query, maps[res_i], obj_valid
+            )[0]), n_loop)
+
+    def heads(i, acc):
+        s = jnp.float32(0.0)
+        for res_i, h_i in h.items():
+            head = GetImageG(dt)
+            s = s + tsum(head.apply({"params": gp[f"img{res_i}"]},
+                                    _dep(h_i, acc)))
+        return s
+
+    out["image_heads_ms"] = _time_loop(heads, n_loop)
+    out["stage_sum_ms"] = round(sum(out.values()), 3)
+    return {k: round(v, 3) for k, v in out.items()}
+
+
+def train_breakdown(cfg, trainer, state, batch, rng,
+                    n_loop: int = 8) -> Dict[str, float]:
+    """Forward / G-backward / D-backward decomposition of the train step.
+
+    Three chained-loop programs over the REAL fused loss (train/gan.py
+    ``_losses``):
+      * ``fwd``: loss value only (G + 3 patch Ds + object D + DAMSM fwd);
+      * ``g_grad``: fwd + backward through G only (D params severed — the
+        cost of the generator update half of the step);
+      * ``d_grad``: fwd + backward through the D's only (fakes severed).
+    ``g_grad + d_grad - fwd`` approximates a full step without optimizer/EMA
+    bookkeeping; its gap vs the measured fused step is what single-program
+    compilation saves (shared forward, fused optimizer).
+    """
+    from objgan_tpu.data.wire import from_wire
+
+    batch = from_wire(cfg, batch)
+
+    def loss(g_params, d_params, objd_params, key):
+        return trainer._losses(g_params, d_params, objd_params, state,
+                               batch, key)[0]
+
+    out: Dict[str, float] = {}
+    out["loss_fwd_ms"] = _time_loop(
+        lambda i, acc: loss(
+            _dep_tree(state.g_params, acc),
+            state.d_params, state.objd_params,
+            jax.random.fold_in(rng, i)), n_loop)
+    out["g_grad_ms"] = _time_loop(
+        lambda i, acc: sum(
+            jnp.sum(jnp.asarray(g, jnp.float32)) for g in jax.tree.leaves(
+                jax.grad(loss, argnums=0)(
+                    _dep_tree(state.g_params, acc),
+                    state.d_params, state.objd_params,
+                    jax.random.fold_in(rng, i)))), n_loop)
+    out["d_grad_ms"] = _time_loop(
+        lambda i, acc: sum(
+            jnp.sum(jnp.asarray(g, jnp.float32)) for g in jax.tree.leaves(
+                jax.grad(loss, argnums=(1, 2))(
+                    _dep_tree(state.g_params, acc),
+                    state.d_params, state.objd_params,
+                    jax.random.fold_in(rng, i)))), n_loop)
+    out["g_bwd_only_ms"] = round(out["g_grad_ms"] - out["loss_fwd_ms"], 3)
+    out["d_bwd_only_ms"] = round(out["d_grad_ms"] - out["loss_fwd_ms"], 3)
+    out["decomposed_step_ms"] = round(
+        out["g_grad_ms"] + out["d_grad_ms"] - out["loss_fwd_ms"], 3)
+    return {k: round(v, 3) for k, v in out.items()}

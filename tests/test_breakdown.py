@@ -1,0 +1,58 @@
+"""Smoke tests for the per-stage bench breakdown (utils/breakdown.py).
+
+The numbers are only meaningful on real hardware (bench.py --breakdown);
+here we assert the harness traces/compiles/loops every production stage at
+tiny dims and returns sane, positive timings with the expected keys.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from objgan_tpu.data.synthetic import synthetic_batch
+from objgan_tpu.train.gan import GanTrainer
+from objgan_tpu.utils.breakdown import sampling_breakdown, train_breakdown
+
+
+@pytest.fixture(scope="module")
+def trainer_state(tiny_cfg):
+    rng = jax.random.PRNGKey(0)
+    trainer = GanTrainer(tiny_cfg)
+    batch = synthetic_batch(tiny_cfg, rng, tiny_cfg.TRAIN.BATCH_SIZE)
+    return trainer, trainer.init_state(rng, batch), batch
+
+
+def test_sampling_breakdown_keys_and_consistency(tiny_cfg, trainer_state):
+    trainer, state, batch = trainer_state
+    out = sampling_breakdown(tiny_cfg, trainer, state, batch,
+                             jax.random.PRNGKey(1), n_loop=2)
+    expected = {
+        "text_encoder_ms", "ca_net_ms", "layout_paste_ms",
+        "layout_encoder_ms", "init_stage_16_ms", "image_heads_ms",
+        "attn_stage1_16to32_ms", "attn_stage2_32to64_ms", "stage_sum_ms",
+    }
+    assert expected == set(out)
+    assert all(v > 0 for v in out.values())
+    parts = sum(v for k, v in out.items() if k != "stage_sum_ms")
+    assert out["stage_sum_ms"] == pytest.approx(parts, rel=1e-3)
+
+
+def test_train_breakdown_keys_and_arithmetic(tiny_cfg, trainer_state):
+    trainer, state, batch = trainer_state
+    out = train_breakdown(tiny_cfg, trainer, state, batch,
+                          jax.random.PRNGKey(2), n_loop=2)
+    assert {"loss_fwd_ms", "g_grad_ms", "d_grad_ms", "g_bwd_only_ms",
+            "d_bwd_only_ms", "decomposed_step_ms"} == set(out)
+    assert out["loss_fwd_ms"] > 0
+    assert out["decomposed_step_ms"] == pytest.approx(
+        out["g_grad_ms"] + out["d_grad_ms"] - out["loss_fwd_ms"], rel=1e-3)
+
+
+def test_dep_perturbation_is_numerically_invisible():
+    from objgan_tpu.utils.breakdown import _dep
+
+    x = jnp.ones((4, 4), jnp.bfloat16)
+    acc = jnp.float32(123.0)
+    assert jnp.array_equal(_dep(x, acc), x)
+    xf = jnp.full((3,), 0.5, jnp.float32)
+    assert jnp.array_equal(_dep(xf, jnp.float32(1e6)), xf)
