@@ -150,6 +150,67 @@ def convert_torch_state_dict(
     return out
 
 
+def _from_flax_array(torch_name: str, arr: "np.ndarray",
+                     source: str = "") -> np.ndarray:
+    """Inverse of :func:`_to_flax_array`: flax layout → torch layout.
+
+    Same dispatch rules, transposed: embeddings pass through, 2-D
+    Linear/LSTM weights transpose back to (out, in) / (4H, D), 4-D conv
+    kernels go HWIO → OIHW."""
+    arr = np.asarray(arr)
+    leaf = torch_name.rsplit(".", 1)[-1]
+    if source.rsplit("/", 1)[-1] == "embedding":
+        return arr
+    is_lstm_w = "weight_ih" in leaf or "weight_hh" in leaf
+    if arr.ndim == 2 and (torch_name.endswith(".weight") or is_lstm_w):
+        return np.ascontiguousarray(arr.T)
+    if arr.ndim == 4:
+        return np.ascontiguousarray(arr.transpose(3, 2, 0, 1))
+    return arr
+
+
+def export_torch_state_dict(
+    params: Any,
+    name_map: Mapping[str, str],
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_torch_state_dict`: read a flax param tree
+    back out as ``{torch_name: array}`` in torch layouts, driven by the
+    same ``torch name -> flax path`` map the import direction uses — so any
+    exactly-mapped module (RNN_ENCODER, CNN_ENCODER) round-trips.
+
+    The one non-bijective import rule is inverted sum-preservingly: torch's
+    two LSTM bias vectors (``bias_ih`` + ``bias_hh``) import SUMMED onto a
+    single flax ``b``, so the export writes ``bias_ih = b`` and
+    ``bias_hh = 0`` — torch's LSTM cell only ever consumes their sum, so
+    the exported checkpoint is numerically identical in any torch forward."""
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        flat[_path_key(path)] = leaf
+
+    by_target: Dict[str, list] = {}
+    for tname, fpath in name_map.items():
+        by_target.setdefault(fpath, []).append(tname)
+
+    out: Dict[str, np.ndarray] = {}
+    for fpath, tnames in by_target.items():
+        if fpath not in flat:
+            raise KeyError(f"flax param path {fpath!r} not found")
+        arr = np.asarray(flat[fpath])
+        if len(tnames) == 1:
+            out[tnames[0]] = _from_flax_array(tnames[0], arr, source=fpath)
+            continue
+        kinds = {_lstm_bias_kind(t): t for t in tnames}
+        if len(tnames) != 2 or set(kinds) != {"bias_ih", "bias_hh"}:
+            raise ValueError(
+                f"multiple torch params {tnames!r} map to flax path "
+                f"{fpath!r} (only LSTM bias_ih/bias_hh pairs may share a "
+                "target)"
+            )
+        out[kinds["bias_ih"]] = arr.copy()
+        out[kinds["bias_hh"]] = np.zeros_like(arr)
+    return out
+
+
 def _path_key(path) -> str:
     """'/'-joined flax path, dropping the top-level 'params' collection so
     converter name maps don't have to carry it."""

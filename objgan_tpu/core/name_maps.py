@@ -108,6 +108,72 @@ def load_cnn_encoder_checkpoint(params, state_dict):
     return apply_converted(params, converted)
 
 
+def export_rnn_encoder(params) -> Dict[str, "np.ndarray"]:
+    """Inverse of :func:`load_rnn_encoder_checkpoint`: read a trained
+    ``RNNEncoder`` param tree out as a lineage ``text_encoder.pth``-shaped
+    state dict (exact — every parameter transfers; the LSTM bias splits
+    sum-preservingly, see ``checkpoint.export_torch_state_dict``)."""
+    from objgan_tpu.core.checkpoint import export_torch_state_dict
+
+    return export_torch_state_dict(params, rnn_encoder_name_map())
+
+
+def cnn_encoder_export_name_map(params) -> Dict[str, str]:
+    """torch→flax map covering an ``InceptionEncoder`` param tree, with the
+    torch names generated mechanically from the flax paths (the inverse of
+    ``inception_v3.torch_name_map``'s derivation, which the roundtrip test
+    validates against torchvision's 94-conv inventory).
+
+    The backbone ``fc`` classifier head is excluded: the lineage
+    ``CNN_ENCODER`` keeps torchvision's feature modules only
+    (``Conv2d_1a_3x3`` … ``Mixed_7c``) and replaces the classifier with its
+    ``emb_features``/``emb_cnn_code`` projections, so its state dict never
+    carries ``fc.*``."""
+    m: Dict[str, str] = {
+        "emb_features.weight": "emb_features/kernel",
+        "emb_cnn_code.weight": "emb_cnn_code/kernel",
+        "emb_cnn_code.bias": "emb_cnn_code/bias",
+    }
+    for path, _ in jax.tree_util.tree_flatten_with_path(params)[0]:
+        keys = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+        fpath = "/".join(k for k in keys if k != "params")
+        if not fpath.startswith("backbone/"):
+            continue
+        parts = fpath[len("backbone/"):].split("/")
+        leaf, scope = parts[-1], parts[:-1]
+        if scope == ["fc"]:
+            continue
+        if leaf == "kernel":
+            m[".".join(scope) + ".weight"] = fpath
+        elif leaf == "bias":
+            m[".".join(scope) + ".bias"] = fpath
+        elif leaf.startswith("bn_"):
+            tleaf = {"bn_scale": "bn.weight", "bn_bias": "bn.bias",
+                     "bn_mean": "bn.running_mean",
+                     "bn_var": "bn.running_var"}[leaf]
+            m[".".join(scope) + "." + tleaf] = fpath
+        else:
+            raise KeyError(f"unhandled InceptionEncoder param {fpath!r}")
+    return m
+
+
+def export_cnn_encoder(params) -> Dict[str, "np.ndarray"]:
+    """Inverse of :func:`load_cnn_encoder_checkpoint`: read a trained
+    ``InceptionEncoder`` param tree out as a lineage
+    ``image_encoder.pth``-shaped state dict. BatchNorm
+    ``num_batches_tracked`` buffers (dropped on import) are re-emitted as
+    int64 zeros so torch's strict ``load_state_dict`` sees a complete dict."""
+    import numpy as np
+
+    from objgan_tpu.core.checkpoint import export_torch_state_dict
+
+    out = export_torch_state_dict(params, cnn_encoder_export_name_map(params))
+    for name in [n for n in out if n.endswith(".running_mean")]:
+        scope = name[: -len("running_mean")]
+        out[scope + "num_batches_tracked"] = np.zeros((), np.int64)
+    return out
+
+
 def g_net_name_map(cfg) -> Dict[str, str]:
     """Lineage ``G_NET`` (``netG_epoch_N.pth``) → models/generator.py:GNet —
     best-effort table for :func:`load_lineage_partial`.
