@@ -358,12 +358,15 @@ def main():
             sampling_breakdown, train_breakdown,
         )
 
-        n_loop_bd = 4 if args.quick else 16
+        # higher trip counts than the headline loops: individual stages are
+        # far cheaper than the full step, so the per-execution dispatch
+        # overhead (also measured and subtracted — breakdown._loop_overhead_s)
+        # must spread over more iterations for sub-ms stages to resolve
         for k, v in sampling_breakdown(cfg, trainer, state, batch, keys[900],
-                                       n_loop=n_loop_bd).items():
+                                       n_loop=8 if args.quick else 64).items():
             extras[f"bd_sample_{k}"] = v
         for k, v in train_breakdown(cfg, trainer, state, batch, keys[901],
-                                    n_loop=max(2, n_loop_bd // 2)).items():
+                                    n_loop=4 if args.quick else 16).items():
             extras[f"bd_train_{k}"] = v
 
     if args.feed:

@@ -47,8 +47,37 @@ def _dep_tree(tree, acc):
     return jax.tree.unflatten(treedef, [_dep(leaves[0], acc)] + leaves[1:])
 
 
+_OVERHEAD_CACHE: Dict[int, float] = {}
+
+
+def _loop_overhead_s(n_loop: int, trials: int = 3) -> float:
+    """Wall-clock of an (effectively) empty chained device loop: dispatch +
+    relay round trip + fence — the additive constant every
+    :func:`_time_loop` execution pays ONCE regardless of body cost. The
+    full sampling/train loops amortize it to noise, but a 0.1 ms stage
+    would otherwise read as RTT/n_loop (~1.5 ms at n_loop=16 through the
+    ~25 ms axon relay). Cached per trip count."""
+    if n_loop not in _OVERHEAD_CACHE:
+
+        @jax.jit
+        def loop(seed):
+            return jax.lax.fori_loop(
+                0, n_loop, lambda i, acc: acc * 1.0000001 + 1.0, seed)
+
+        jax.block_until_ready(loop(jnp.float32(0.0)))  # compile + warm
+        best = float("inf")
+        for t in range(trials):
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(jnp.float32(t)))
+            best = min(best, time.perf_counter() - t0)
+        _OVERHEAD_CACHE[n_loop] = best
+    return _OVERHEAD_CACHE[n_loop]
+
+
 def _time_loop(fn: Callable, n_loop: int, trials: int = 3) -> float:
-    """ms per iteration of ``fn(i, acc) -> scalar`` run as one device loop."""
+    """ms per iteration of ``fn(i, acc) -> scalar`` run as one device loop,
+    with the measured empty-loop dispatch overhead subtracted (floored at
+    0 — a stage cheaper than the measurement's own noise reads as ~0)."""
 
     @jax.jit
     def loop(seed):
@@ -57,13 +86,14 @@ def _time_loop(fn: Callable, n_loop: int, trials: int = 3) -> float:
 
         return jax.lax.fori_loop(0, n_loop, body, seed)
 
+    overhead = _loop_overhead_s(n_loop)
     jax.block_until_ready(loop(jnp.float32(0.0)))  # compile + warm
     best = float("inf")
     for t in range(trials):
         t0 = time.perf_counter()
         jax.block_until_ready(loop(jnp.float32(t + 1) * 1e-6))
-        best = min(best, (time.perf_counter() - t0) / n_loop)
-    return best * 1e3
+        best = min(best, time.perf_counter() - t0)
+    return max(0.0, best - overhead) / n_loop * 1e3
 
 
 def sampling_breakdown(cfg, trainer, state, batch, rng,

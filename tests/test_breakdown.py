@@ -32,7 +32,9 @@ def test_sampling_breakdown_keys_and_consistency(tiny_cfg, trainer_state):
         "attn_stage1_16to32_ms", "attn_stage2_32to64_ms", "stage_sum_ms",
     }
     assert expected == set(out)
-    assert all(v > 0 for v in out.values())
+    # overhead subtraction can clamp a sub-noise stage to 0, never below
+    assert all(v >= 0 for v in out.values())
+    assert out["stage_sum_ms"] > 0
     parts = sum(v for k, v in out.items() if k != "stage_sum_ms")
     assert out["stage_sum_ms"] == pytest.approx(parts, rel=1e-3)
 
