@@ -159,26 +159,17 @@ def main():
         # resulting (mu, cov) are cached on disk next to the manifest —
         # they are identical for every checkpoint evaluated on it, so a
         # 13-point quality curve pays the full-manifest pass once.
-        import hashlib
-
         from objgan_tpu.data.pipeline import CocoFeed, load_records_json
         from objgan_tpu.data.tokenizer import Vocab as _Vocab
         from objgan_tpu.utils.fid_runner import (
-            real_activation_stats, unique_epoch_images,
+            real_activation_stats, real_stats_cache_path, save_stats_atomic,
+            unique_epoch_images,
         )
 
         all_recs = load_records_json(args.manifest)
         n_real_unique = len(all_recs)
-        # the lite extractor's feature space depends on the encoder dims
-        # (deterministic init from cfg) — key them so a dim change can
-        # never silently reuse stale statistics
-        key = hashlib.sha1("|".join([
-            os.path.abspath(args.manifest), str(n_real_unique), mode,
-            str(cfg.branch_sizes[-1]), str(cfg.TEXT.EMBEDDING_DIM),
-        ]).encode()).hexdigest()[:16]
-        cache_path = os.path.join(
-            os.path.dirname(os.path.abspath(args.manifest)),
-            f".fid_real_stats_{key}.npz")
+        cache_path = real_stats_cache_path(
+            cfg, args.manifest, n_real_unique, mode, args.inception_pth)
         if os.path.exists(cache_path):
             z = np.load(cache_path)
             real_stats = (z["mu"], z["cov"])
@@ -190,7 +181,7 @@ def main():
                                  seed=cfg.RNG_SEED, augment=False)
             real_stats = real_activation_stats(
                 unique_epoch_images(full_feed, n_real_unique), extractor)
-            np.savez(cache_path, mu=real_stats[0], cov=real_stats[1])
+            save_stats_atomic(cache_path, real_stats[0], real_stats[1])
 
     fid, (is_m, is_s) = compute_fid_is(real_batches, fakes, extractor,
                                        real_stats=real_stats)

@@ -134,9 +134,10 @@ def cnn_encoder_export_name_map(params) -> Dict[str, str]:
         "emb_cnn_code.weight": "emb_cnn_code/kernel",
         "emb_cnn_code.bias": "emb_cnn_code/bias",
     }
+    from objgan_tpu.core.checkpoint import _path_key
+
     for path, _ in jax.tree_util.tree_flatten_with_path(params)[0]:
-        keys = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
-        fpath = "/".join(k for k in keys if k != "params")
+        fpath = _path_key(path)
         if not fpath.startswith("backbone/"):
             continue
         parts = fpath[len("backbone/"):].split("/")
@@ -250,13 +251,12 @@ def load_lineage_partial(params, state_dict: Mapping,
     import numpy as np
 
     from objgan_tpu.core.checkpoint import (
-        _to_flax_array, apply_converted,
+        _path_key, _to_flax_array, apply_converted,
     )
 
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
-        keys = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
-        flat["/".join(k for k in keys if k != "params")] = leaf
+        flat[_path_key(path)] = leaf
 
     shapes = {k: tuple(getattr(v, "shape", ())) for k, v in state_dict.items()}
     report = {"loaded": [], "skipped_bn": [], "skipped_shape": [],

@@ -67,8 +67,11 @@ def _loop_overhead_s(n_loop: int, trials: int = 3) -> float:
         jax.block_until_ready(loop(jnp.float32(0.0)))  # compile + warm
         best = float("inf")
         for t in range(trials):
+            # distinct seed per trial AND distinct from the warmup's — the
+            # relay dedups identical (executable, args) executions (see
+            # bench.py:_bench), which would fake a near-zero overhead here
             t0 = time.perf_counter()
-            jax.block_until_ready(loop(jnp.float32(t)))
+            jax.block_until_ready(loop(jnp.float32(t + 1) * 1e-3))
             best = min(best, time.perf_counter() - t0)
         _OVERHEAD_CACHE[n_loop] = best
     return _OVERHEAD_CACHE[n_loop]
@@ -117,49 +120,71 @@ def sampling_breakdown(cfg, trainer, state, batch, rng,
     gp = state.ema_g_params["params"]
     b, t = batch["captions"].shape
 
-    # ---- one eager pass to materialize every stage's real input ----
-    caps, lens = batch["captions"], batch["cap_lens"]
-    words, sent = trainer.text_enc.apply(state.text_params, caps, lens)
-    word_mask = jnp.arange(t)[None] >= lens[:, None]
-    labels_emb = state.label_table[batch["labels"]]
-    k_z, k_ca = jax.random.split(rng)
-    z = jax.random.normal(k_z, (b, cfg.GAN.Z_DIM))
-
+    # ---- one JITTED pass to materialize every stage's real input (eager
+    # would dispatch one remote-compiled program per primitive; this keeps
+    # the advertised compile count at ~1 program per timed stage) ----
     ca = CANet(cfg.GAN.CONDITION_DIM, dt)
-    c_code, _, _ = ca.apply({"params": gp["ca_net"]}, sent.astype(dt), k_ca)
-    z_c = jnp.concatenate([z.astype(dt), c_code], axis=-1)
-
-    shapes, boxes, obj_valid = (batch["shapes"], batch["boxes"],
-                                batch["obj_valid"])
-    shape_maps = rasterize.paste_masks(shapes, boxes, base, base)
-    canvas = att_ops.paste_object_context(
-        labels_emb.astype(dt),
-        shape_maps.reshape(*shape_maps.shape[:2], base * base).astype(dt),
-        obj_valid,
-    ).reshape(-1, base, base, labels_emb.shape[-1])
     layout_enc = LayoutEncoder(gf * 8, 4, dt)
-    layout4 = layout_enc.apply({"params": gp["layout_enc"]}, canvas)
     init_stage = InitStageG(gf, base, dt, cfg.GAN.UP_MODE)
-    h = {base: init_stage.apply({"params": gp["init_stage"]}, z_c, layout4)}
-    obj_query = jnp.concatenate([labels_emb.astype(dt), boxes.astype(dt)],
-                                axis=-1)
-    words_dt = words.astype(dt)
-
-    maps = {base: shape_maps}
     stages = {}
     res = base
     for i in range(1, cfg.TREE.BRANCH_NUM):
-        if res != base:
-            b_, o_ = shape_maps.shape[:2]
-            maps[res] = jax.image.resize(
-                shape_maps.reshape(b_ * o_, base, base, 1),
-                (b_ * o_, res, res, 1), method="bilinear",
-            ).reshape(b_, o_, res, res)
         stages[i] = (AttnStage(gf, cfg.GAN.R_NUM, dt, cfg.GAN.UP_MODE), res)
-        h[res * 2], _, _ = stages[i][0].apply(
-            {"params": gp[f"attn_stage{i}"]}, h[res], words_dt, word_mask,
-            obj_query, maps[res], obj_valid)
         res *= 2
+
+    @jax.jit
+    def materialize(state, batch, rng):
+        caps, lens = batch["captions"], batch["cap_lens"]
+        words, sent = trainer.text_enc.apply(state.text_params, caps, lens)
+        word_mask = jnp.arange(t)[None] >= lens[:, None]
+        labels_emb = state.label_table[batch["labels"]]
+        k_z, k_ca = jax.random.split(rng)
+        z = jax.random.normal(k_z, (b, cfg.GAN.Z_DIM))
+
+        c_code, _, _ = ca.apply({"params": gp["ca_net"]}, sent.astype(dt),
+                                k_ca)
+        z_c = jnp.concatenate([z.astype(dt), c_code], axis=-1)
+
+        shapes, boxes, obj_valid = (batch["shapes"], batch["boxes"],
+                                    batch["obj_valid"])
+        shape_maps = rasterize.paste_masks(shapes, boxes, base, base)
+        canvas = att_ops.paste_object_context(
+            labels_emb.astype(dt),
+            shape_maps.reshape(*shape_maps.shape[:2], base * base).astype(dt),
+            obj_valid,
+        ).reshape(-1, base, base, labels_emb.shape[-1])
+        layout4 = layout_enc.apply({"params": gp["layout_enc"]}, canvas)
+        h = {base: init_stage.apply({"params": gp["init_stage"]}, z_c,
+                                    layout4)}
+        obj_query = jnp.concatenate([labels_emb.astype(dt),
+                                     boxes.astype(dt)], axis=-1)
+        words_dt = words.astype(dt)
+
+        maps = {base: shape_maps}
+        for i, (stage, res_i) in stages.items():
+            if res_i != base:
+                b_, o_ = shape_maps.shape[:2]
+                maps[res_i] = jax.image.resize(
+                    shape_maps.reshape(b_ * o_, base, base, 1),
+                    (b_ * o_, res_i, res_i, 1), method="bilinear",
+                ).reshape(b_, o_, res_i, res_i)
+            h[res_i * 2], _, _ = stage.apply(
+                {"params": gp[f"attn_stage{i}"]}, h[res_i], words_dt,
+                word_mask, obj_query, maps[res_i], obj_valid)
+        return dict(sent=sent, word_mask=word_mask, k_ca=k_ca,
+                    labels_emb=labels_emb, z_c=z_c, shape_maps=shape_maps,
+                    canvas=canvas, layout4=layout4, h=h,
+                    obj_query=obj_query, words_dt=words_dt, maps=maps)
+
+    mt = jax.block_until_ready(materialize(state, batch, rng))
+    caps, lens = batch["captions"], batch["cap_lens"]
+    sent, word_mask, k_ca = mt["sent"], mt["word_mask"], mt["k_ca"]
+    labels_emb, z_c, shape_maps = mt["labels_emb"], mt["z_c"], \
+        mt["shape_maps"]
+    canvas, layout4, h = mt["canvas"], mt["layout4"], mt["h"]
+    obj_query, words_dt, maps = mt["obj_query"], mt["words_dt"], mt["maps"]
+    shapes, boxes, obj_valid = (batch["shapes"], batch["boxes"],
+                                batch["obj_valid"])
 
     # ---- per-stage chained loops ----
     out: Dict[str, float] = {}

@@ -60,6 +60,48 @@ def make_lite_extractor(cfg, params=None, rng=None):
     return lambda images: extract(params, images), params
 
 
+def real_stats_cache_path(cfg, manifest: str, n_records: int, mode: str,
+                          inception_pth: Optional[str] = None) -> str:
+    """Disk-cache location for a manifest's real-side FID statistics.
+
+    The (mu, cov) are identical for every checkpoint evaluated on one
+    manifest, so a multi-point quality curve pays the full-manifest pass
+    once. The key must change whenever the FEATURE SPACE or the DATA can
+    have changed: extractor architecture (``TEXT.CNN_BACKBONE``) and dims
+    key the former; content fingerprints (size + mtime) of the manifest
+    and any strict weights file key the latter — regenerating a dataset in
+    place or swapping the weights file can never silently reuse stale
+    statistics."""
+    import hashlib
+    import os
+
+    def fingerprint(path):
+        st = os.stat(path)
+        return f"{st.st_size}:{st.st_mtime_ns}"
+
+    parts = [
+        os.path.abspath(manifest), fingerprint(manifest), str(n_records),
+        mode, cfg.TEXT.CNN_BACKBONE, str(cfg.branch_sizes[-1]),
+        str(cfg.TEXT.EMBEDDING_DIM),
+    ]
+    if inception_pth:
+        parts += [os.path.abspath(inception_pth), fingerprint(inception_pth)]
+    key = hashlib.sha1("|".join(parts).encode()).hexdigest()[:16]
+    return os.path.join(os.path.dirname(os.path.abspath(manifest)),
+                        f".fid_real_stats_{key}.npz")
+
+
+def save_stats_atomic(cache_path: str, mu, cov) -> None:
+    """Publish a stats cache file atomically: an interrupted or racing
+    eval must never leave a truncated .npz that crashes later loads."""
+    import os
+
+    tmp_path = cache_path + f".{os.getpid()}.tmp.npz"  # .npz suffix:
+    # np.savez would otherwise append one and break the rename
+    np.savez(tmp_path, mu=mu, cov=cov)
+    os.replace(tmp_path, cache_path)
+
+
 def unique_epoch_images(feed, n_unique: int):
     """Stream exactly ``n_unique`` finest-scale images from a feed, one
     batch at a time — the real-side statistics pass of the standard FID

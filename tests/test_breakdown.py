@@ -36,7 +36,9 @@ def test_sampling_breakdown_keys_and_consistency(tiny_cfg, trainer_state):
     assert all(v >= 0 for v in out.values())
     assert out["stage_sum_ms"] > 0
     parts = sum(v for k, v in out.items() if k != "stage_sum_ms")
-    assert out["stage_sum_ms"] == pytest.approx(parts, rel=1e-3)
+    # parts are individually rounded to 3 decimals; absolute tolerance
+    # covers the accumulated rounding however fast the stages run
+    assert out["stage_sum_ms"] == pytest.approx(parts, abs=0.001 * len(out))
 
 
 def test_train_breakdown_keys_and_arithmetic(tiny_cfg, trainer_state):
@@ -47,7 +49,7 @@ def test_train_breakdown_keys_and_arithmetic(tiny_cfg, trainer_state):
             "d_bwd_only_ms", "decomposed_step_ms"} == set(out)
     assert out["loss_fwd_ms"] > 0
     assert out["decomposed_step_ms"] == pytest.approx(
-        out["g_grad_ms"] + out["d_grad_ms"] - out["loss_fwd_ms"], rel=1e-3)
+        out["g_grad_ms"] + out["d_grad_ms"] - out["loss_fwd_ms"], abs=0.005)
 
 
 def test_dep_perturbation_is_numerically_invisible():

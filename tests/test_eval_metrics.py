@@ -101,3 +101,51 @@ def test_frechet_from_stats_matches_direct():
     via_stats = frechet_from_stats(*activation_stats(a),
                                    *activation_stats(b))
     np.testing.assert_allclose(via_stats, direct, rtol=1e-12)
+
+
+def test_real_stats_cache_key_sensitivity(tmp_path):
+    """The cache path must move whenever the feature space (backbone, dims)
+    or the data (manifest contents) can have changed, and stay put
+    otherwise (same curve reuses one file)."""
+    import os
+    import time
+
+    from objgan_tpu.core.config import tiny_test_config
+    from objgan_tpu.utils.fid_runner import real_stats_cache_path
+
+    cfg = tiny_test_config()
+    m = tmp_path / "manifest.json"
+    m.write_text("[]")
+
+    base = real_stats_cache_path(cfg, str(m), 10, "lite")
+    assert base == real_stats_cache_path(cfg, str(m), 10, "lite")
+    assert os.path.dirname(base) == str(tmp_path)
+
+    # different backbone => different feature space => different key
+    cfg2 = cfg.merged({"TEXT": {"CNN_BACKBONE": "inception"}})
+    assert real_stats_cache_path(cfg2, str(m), 10, "lite") != base
+    # regenerated dataset (same path/count, new contents) => new key
+    time.sleep(0.01)
+    m.write_text("[ ]")
+    assert real_stats_cache_path(cfg, str(m), 10, "lite") != base
+    # strict weights file participates via path + fingerprint
+    w = tmp_path / "weights.pth"
+    w.write_bytes(b"x")
+    k1 = real_stats_cache_path(cfg, str(m), 10, "strict", str(w))
+    w.write_bytes(b"xy")
+    assert real_stats_cache_path(cfg, str(m), 10, "strict", str(w)) != k1
+
+
+def test_save_stats_atomic_roundtrip_and_no_tmp_left(tmp_path):
+    import numpy as np
+
+    from objgan_tpu.utils.fid_runner import save_stats_atomic
+
+    path = str(tmp_path / ".fid_real_stats_abc.npz")
+    mu, cov = np.arange(4.0), np.eye(4)
+    save_stats_atomic(path, mu, cov)
+    z = np.load(path)
+    np.testing.assert_array_equal(z["mu"], mu)
+    np.testing.assert_array_equal(z["cov"], cov)
+    leftovers = [f for f in tmp_path.iterdir() if ".tmp" in f.name]
+    assert not leftovers
