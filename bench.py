@@ -362,11 +362,16 @@ def main():
         # far cheaper than the full step, so the per-execution dispatch
         # overhead (also measured and subtracted — breakdown._loop_overhead_s)
         # must spread over more iterations for sub-ms stages to resolve
+        # combined with --analyze, each stage also reports flops/bytes and
+        # the achieved GB/s implied (per-stage roofline; costs come from
+        # the same compiled loop programs — no extra remote compiles)
         for k, v in sampling_breakdown(cfg, trainer, state, batch, keys[900],
-                                       n_loop=8 if args.quick else 64).items():
+                                       n_loop=8 if args.quick else 64,
+                                       analyze=args.analyze).items():
             extras[f"bd_sample_{k}"] = v
         for k, v in train_breakdown(cfg, trainer, state, batch, keys[901],
-                                    n_loop=4 if args.quick else 16).items():
+                                    n_loop=4 if args.quick else 16,
+                                    analyze=args.analyze).items():
             extras[f"bd_train_{k}"] = v
 
     if args.feed:

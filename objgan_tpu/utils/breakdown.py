@@ -77,10 +77,17 @@ def _loop_overhead_s(n_loop: int, trials: int = 3) -> float:
     return _OVERHEAD_CACHE[n_loop]
 
 
-def _time_loop(fn: Callable, n_loop: int, trials: int = 3) -> float:
+def _time_loop(fn: Callable, n_loop: int, trials: int = 3,
+               analyze: bool = False):
     """ms per iteration of ``fn(i, acc) -> scalar`` run as one device loop,
     with the measured empty-loop dispatch overhead subtracted (floored at
-    0 — a stage cheaper than the measurement's own noise reads as ~0)."""
+    0 — a stage cheaper than the measurement's own noise reads as ~0).
+
+    With ``analyze=True`` returns ``(ms, cost)`` where ``cost`` carries the
+    per-iteration XLA cost analysis of the SAME compiled loop program
+    (``{"gflops", "mbytes"}``, total/n_loop) — no second compile: the AOT
+    executable used for timing is the one analyzed, which matters on this
+    container's remote-compile relay (3–8 min per new TPU program)."""
 
     @jax.jit
     def loop(seed):
@@ -90,21 +97,60 @@ def _time_loop(fn: Callable, n_loop: int, trials: int = 3) -> float:
         return jax.lax.fori_loop(0, n_loop, body, seed)
 
     overhead = _loop_overhead_s(n_loop)
-    jax.block_until_ready(loop(jnp.float32(0.0)))  # compile + warm
+    # AOT lower+compile so the executable object is in hand for
+    # cost_analysis; executing through it also reuses exactly this program
+    compiled = loop.lower(jnp.float32(0.0)).compile()
+    cost = {}
+    if analyze:
+        try:
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):  # older jax wraps in a list
+                ca = ca[0]
+            # the chained loop adds one scalar fma per iteration over fn
+            # itself — noise next to any real stage
+            cost = {
+                "gflops": round(float(ca.get("flops", 0.0)) / n_loop / 1e9,
+                                3),
+                "mbytes": round(
+                    float(ca.get("bytes accessed", 0.0)) / n_loop / 1e6, 2),
+            }
+        except Exception:  # pragma: no cover - backend-dependent surface
+            cost = {}
+    jax.block_until_ready(compiled(jnp.float32(0.0)))  # warm
     best = float("inf")
     for t in range(trials):
         t0 = time.perf_counter()
-        jax.block_until_ready(loop(jnp.float32(t + 1) * 1e-6))
+        jax.block_until_ready(compiled(jnp.float32(t + 1) * 1e-6))
         best = min(best, time.perf_counter() - t0)
-    return max(0.0, best - overhead) / n_loop * 1e3
+    ms = max(0.0, best - overhead) / n_loop * 1e3
+    return (ms, cost) if analyze else ms
+
+
+def _measure(out: Dict[str, float], name: str, fn: Callable, n_loop: int,
+             analyze: bool) -> None:
+    """Record ``<name>_ms`` (always) and, when analyzing, the stage's
+    per-iteration ``_gflops`` / ``_mbytes`` plus the achieved ``_gbps``
+    implied by the two — the per-stage roofline readout."""
+    if analyze:
+        ms, cost = _time_loop(fn, n_loop, analyze=True)
+        out[f"{name}_ms"] = ms
+        for k, v in cost.items():
+            out[f"{name}_{k}"] = v
+        if ms > 0 and cost.get("mbytes"):
+            out[f"{name}_gbps"] = round(cost["mbytes"] / ms, 1)
+    else:
+        out[f"{name}_ms"] = _time_loop(fn, n_loop)
 
 
 def sampling_breakdown(cfg, trainer, state, batch, rng,
-                       n_loop: int = 16) -> Dict[str, float]:
+                       n_loop: int = 16,
+                       analyze: bool = False) -> Dict[str, float]:
     """Stage-by-stage timing of the Stage-III sampling forward.
 
     Reuses the REAL (EMA) parameters and a real batch so every stage runs
-    at its production shape. Returns ``{stage: ms}`` plus the per-stage sum.
+    at its production shape. Returns ``{stage: ms}`` plus the per-stage sum;
+    ``analyze=True`` adds per-stage flops/bytes/achieved-GB/s from the same
+    compiled loop programs (see :func:`_measure`).
     """
     from objgan_tpu.data.wire import from_wire
     from objgan_tpu.models.generator import (
@@ -199,29 +245,32 @@ def sampling_breakdown(cfg, trainer, state, batch, rng,
         w, s = trainer.text_enc.apply(state.text_params, caps[idx], lens[idx])
         return tsum(w) + acc * 1e-30
 
-    out["text_encoder_ms"] = _time_loop(text_step, n_loop)
-    out["ca_net_ms"] = _time_loop(
-        lambda i, acc: tsum(ca.apply(
-            {"params": gp["ca_net"]}, _dep(sent.astype(dt), acc),
-            jax.random.fold_in(k_ca, i))[0]), n_loop)
-    out["layout_paste_ms"] = _time_loop(
-        lambda i, acc: tsum(att_ops.paste_object_context(
-            labels_emb.astype(dt),
-            rasterize.paste_masks(_dep(shapes, acc), boxes, base, base)
-            .reshape(*shapes.shape[:2], base * base).astype(dt),
-            obj_valid)), n_loop)
-    out["layout_encoder_ms"] = _time_loop(
-        lambda i, acc: tsum(layout_enc.apply(
-            {"params": gp["layout_enc"]}, _dep(canvas, acc))), n_loop)
-    out[f"init_stage_{base}_ms"] = _time_loop(
-        lambda i, acc: tsum(init_stage.apply(
-            {"params": gp["init_stage"]}, _dep(z_c, acc), layout4)), n_loop)
+    _measure(out, "text_encoder", text_step, n_loop, analyze)
+    _measure(out, "ca_net",
+             lambda i, acc: tsum(ca.apply(
+                 {"params": gp["ca_net"]}, _dep(sent.astype(dt), acc),
+                 jax.random.fold_in(k_ca, i))[0]), n_loop, analyze)
+    _measure(out, "layout_paste",
+             lambda i, acc: tsum(att_ops.paste_object_context(
+                 labels_emb.astype(dt),
+                 rasterize.paste_masks(_dep(shapes, acc), boxes, base, base)
+                 .reshape(*shapes.shape[:2], base * base).astype(dt),
+                 obj_valid)), n_loop, analyze)
+    _measure(out, "layout_encoder",
+             lambda i, acc: tsum(layout_enc.apply(
+                 {"params": gp["layout_enc"]}, _dep(canvas, acc))),
+             n_loop, analyze)
+    _measure(out, f"init_stage_{base}",
+             lambda i, acc: tsum(init_stage.apply(
+                 {"params": gp["init_stage"]}, _dep(z_c, acc), layout4)),
+             n_loop, analyze)
     for i, (stage, res_i) in stages.items():
-        out[f"attn_stage{i}_{res_i}to{res_i * 2}_ms"] = _time_loop(
-            lambda i_, acc, i=i, stage=stage, res_i=res_i: tsum(stage.apply(
-                {"params": gp[f"attn_stage{i}"]}, _dep(h[res_i], acc),
-                words_dt, word_mask, obj_query, maps[res_i], obj_valid
-            )[0]), n_loop)
+        _measure(out, f"attn_stage{i}_{res_i}to{res_i * 2}",
+                 lambda i_, acc, i=i, stage=stage, res_i=res_i: tsum(
+                     stage.apply(
+                         {"params": gp[f"attn_stage{i}"]}, _dep(h[res_i], acc),
+                         words_dt, word_mask, obj_query, maps[res_i],
+                         obj_valid)[0]), n_loop, analyze)
 
     def heads(i, acc):
         s = jnp.float32(0.0)
@@ -231,13 +280,15 @@ def sampling_breakdown(cfg, trainer, state, batch, rng,
                                     _dep(h_i, acc)))
         return s
 
-    out["image_heads_ms"] = _time_loop(heads, n_loop)
-    out["stage_sum_ms"] = round(sum(out.values()), 3)
+    _measure(out, "image_heads", heads, n_loop, analyze)
+    out["stage_sum_ms"] = round(
+        sum(v for k, v in out.items() if k.endswith("_ms")), 3)
     return {k: round(v, 3) for k, v in out.items()}
 
 
 def train_breakdown(cfg, trainer, state, batch, rng,
-                    n_loop: int = 8) -> Dict[str, float]:
+                    n_loop: int = 8,
+                    analyze: bool = False) -> Dict[str, float]:
     """Forward / G-backward / D-backward decomposition of the train step.
 
     Three chained-loop programs over the REAL fused loss (train/gan.py
@@ -259,25 +310,27 @@ def train_breakdown(cfg, trainer, state, batch, rng,
                                batch, key)[0]
 
     out: Dict[str, float] = {}
-    out["loss_fwd_ms"] = _time_loop(
-        lambda i, acc: loss(
-            _dep_tree(state.g_params, acc),
-            state.d_params, state.objd_params,
-            jax.random.fold_in(rng, i)), n_loop)
-    out["g_grad_ms"] = _time_loop(
-        lambda i, acc: sum(
-            jnp.sum(jnp.asarray(g, jnp.float32)) for g in jax.tree.leaves(
-                jax.grad(loss, argnums=0)(
-                    _dep_tree(state.g_params, acc),
-                    state.d_params, state.objd_params,
-                    jax.random.fold_in(rng, i)))), n_loop)
-    out["d_grad_ms"] = _time_loop(
-        lambda i, acc: sum(
-            jnp.sum(jnp.asarray(g, jnp.float32)) for g in jax.tree.leaves(
-                jax.grad(loss, argnums=(1, 2))(
-                    _dep_tree(state.g_params, acc),
-                    state.d_params, state.objd_params,
-                    jax.random.fold_in(rng, i)))), n_loop)
+    _measure(out, "loss_fwd",
+             lambda i, acc: loss(
+                 _dep_tree(state.g_params, acc),
+                 state.d_params, state.objd_params,
+                 jax.random.fold_in(rng, i)), n_loop, analyze)
+    _measure(out, "g_grad",
+             lambda i, acc: sum(
+                 jnp.sum(jnp.asarray(g, jnp.float32))
+                 for g in jax.tree.leaves(
+                     jax.grad(loss, argnums=0)(
+                         _dep_tree(state.g_params, acc),
+                         state.d_params, state.objd_params,
+                         jax.random.fold_in(rng, i)))), n_loop, analyze)
+    _measure(out, "d_grad",
+             lambda i, acc: sum(
+                 jnp.sum(jnp.asarray(g, jnp.float32))
+                 for g in jax.tree.leaves(
+                     jax.grad(loss, argnums=(1, 2))(
+                         _dep_tree(state.g_params, acc),
+                         state.d_params, state.objd_params,
+                         jax.random.fold_in(rng, i)))), n_loop, analyze)
     out["g_bwd_only_ms"] = round(out["g_grad_ms"] - out["loss_fwd_ms"], 3)
     out["d_bwd_only_ms"] = round(out["d_grad_ms"] - out["loss_fwd_ms"], 3)
     out["decomposed_step_ms"] = round(

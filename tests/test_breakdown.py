@@ -41,6 +41,27 @@ def test_sampling_breakdown_keys_and_consistency(tiny_cfg, trainer_state):
     assert out["stage_sum_ms"] == pytest.approx(parts, abs=0.001 * len(out))
 
 
+def test_sampling_breakdown_analyze_costs(tiny_cfg, trainer_state):
+    trainer, state, batch = trainer_state
+    out = sampling_breakdown(tiny_cfg, trainer, state, batch,
+                             jax.random.PRNGKey(3), n_loop=2, analyze=True)
+    # every timed stage reports its per-iteration cost analysis; achieved
+    # GB/s appears whenever ms and bytes are both nonzero
+    for stage in ("text_encoder", "ca_net", "image_heads"):
+        assert out[f"{stage}_gflops"] >= 0
+        assert out[f"{stage}_mbytes"] > 0
+        if out[f"{stage}_ms"] > 0:
+            # gbps is rounded to 1 decimal — abs term covers that
+            # granularity for the near-zero CPU timings of tiny dims
+            assert out[f"{stage}_gbps"] == pytest.approx(
+                out[f"{stage}_mbytes"] / out[f"{stage}_ms"],
+                rel=0.02, abs=0.06)
+    # the sum row must aggregate ONLY timing keys, not costs
+    parts = sum(v for k, v in out.items()
+                if k.endswith("_ms") and k != "stage_sum_ms")
+    assert out["stage_sum_ms"] == pytest.approx(parts, abs=0.001 * len(out))
+
+
 def test_train_breakdown_keys_and_arithmetic(tiny_cfg, trainer_state):
     trainer, state, batch = trainer_state
     out = train_breakdown(tiny_cfg, trainer, state, batch,
