@@ -128,6 +128,10 @@ def main():
     reals, fakes, sents, globals_ = [], [], [], []
     import itertools
 
+    # with --real_stats all the real side comes from the cached/streamed
+    # full-manifest statistics — keeping the paired real pixels resident
+    # would hold ~1.6 GB at n=2048/256px for nothing
+    keep_reals = not (args.real_stats == "all" and args.manifest)
     text_apply = jax.jit(trainer.text_enc.apply)
     img_apply = jax.jit(trainer.img_enc.apply)
     for i, batch in enumerate(itertools.chain([first], it)):
@@ -135,8 +139,8 @@ def main():
             break
         out = sample_jit(state, batch, jax.random.fold_in(rng, 1000 + i))
         fake = np.asarray(out["images"][-1])
-        real = np.asarray(batch["images"][-1])
-        reals.append(real)
+        if keep_reals:
+            reals.append(np.asarray(batch["images"][-1]))
         fakes.append(fake)
         _, sent = text_apply(state.text_params, batch["captions"],
                              batch["cap_lens"])
@@ -169,7 +173,8 @@ def main():
         all_recs = load_records_json(args.manifest)
         n_real_unique = len(all_recs)
         cache_path = real_stats_cache_path(
-            cfg, args.manifest, n_real_unique, mode, args.inception_pth)
+            cfg, args.manifest, n_real_unique, mode, args.inception_pth,
+            records=all_recs, image_root=cfg.DATA_DIR)
         if os.path.exists(cache_path):
             z = np.load(cache_path)
             real_stats = (z["mu"], z["cov"])

@@ -401,26 +401,65 @@ def wire_record_bytes(cfg: Config, with_images: bool = True,
     return img + masks + layout + caps
 
 
+def _cgroup_mem_limit(proc_file: str = "/proc/self/cgroup",
+                      v2_root: str = "/sys/fs/cgroup",
+                      v1_root: str = "/sys/fs/cgroup/memory"
+                      ) -> Optional[int]:
+    """Tightest memory limit over this PROCESS's own cgroup and every
+    ancestor up to the mount root. /proc/self/cgroup names the group the
+    process actually lives in — a Slurm/systemd/K8s job can be limited in
+    a NESTED group while the mount root stays unlimited, so reading only
+    the root (the old behavior, kept as the walk's last step) misses the
+    binding limit and the cache budget overshoots into an OOM kill."""
+    groups = []  # (controller mount root, limit filename, group path)
+    try:
+        for line in open(proc_file):
+            parts = line.strip().split(":", 2)
+            if len(parts) != 3:
+                continue
+            _, ctrls, path = parts
+            if ctrls == "":  # cgroup v2 unified hierarchy
+                groups.append((v2_root, "memory.max", path))
+            elif "memory" in ctrls.split(","):  # v1 memory controller
+                groups.append((v1_root, "memory.limit_in_bytes", path))
+    except OSError:
+        pass
+    if not groups:  # /proc unreadable: fall back to the mount roots
+        groups = [(v2_root, "memory.max", "/"),
+                  (v1_root, "memory.limit_in_bytes", "/")]
+    best = None
+    for root, fname, rel in groups:
+        segs = [s for s in rel.strip("/").split("/") if s]
+        # leaf -> root: a limit can sit on any ancestor; in a cgroup
+        # namespace the own path may not exist under the host mount, in
+        # which case the walk degrades to reading the mount root
+        for i in range(len(segs), -1, -1):
+            try:
+                raw = open(os.path.join(root, *segs[:i], fname)).read()
+            except OSError:
+                continue
+            raw = raw.strip()
+            if raw.isdigit():  # v2 writes "max" when unlimited
+                v = int(raw)
+                best = v if best is None else min(best, v)
+    return best
+
+
 def _physical_ram_bytes() -> int:
     """Memory actually available to this process: host physical RAM,
-    clamped by the cgroup limit when running in a container (sysconf sees
-    the host's RAM, not the cgroup's — a 16 GB-limited container on a
-    256 GB host must budget against 16 GB or the cache gets OOM-killed)."""
+    clamped by the tightest cgroup limit when running in a container
+    (sysconf sees the host's RAM, not the cgroup's — a 16 GB-limited
+    container on a 256 GB host must budget against 16 GB or the cache
+    gets OOM-killed)."""
     try:
         ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
         if ram <= 0:  # sysconf returns -1 (no exception) for indeterminate
             ram = 16 << 30
     except (AttributeError, ValueError, OSError):  # non-POSIX fallback
         ram = 16 << 30
-    for limit_file in ("/sys/fs/cgroup/memory.max",              # cgroup v2
-                       "/sys/fs/cgroup/memory/memory.limit_in_bytes"):  # v1
-        try:
-            raw = open(limit_file).read().strip()
-            if raw.isdigit():
-                ram = min(ram, int(raw))
-            break
-        except OSError:
-            continue
+    limit = _cgroup_mem_limit()
+    if limit is not None:
+        ram = min(ram, limit)
     return ram
 
 

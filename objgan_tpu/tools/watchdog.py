@@ -17,15 +17,19 @@ CPU clock freezes while wall time runs.
         [--check_s 120] [--stall_checks 7] [--progress_glob 'out/*.csv' ...]
 
 Loop: (1) if ``done_cmd`` exits 0, exit. (2) if the script is not running,
-(re)launch it — safe because the recipe is idempotent. (3) find the
-script's NEWEST python descendant (the active phase) and read its CPU
-jiffies from /proc; a process whose CPU is frozen for
+(re)launch it — safe because the recipe is idempotent. (3) read the CPU
+jiffies of ALL python descendants in the script's process subtree
+(aggregate, not just the newest: with a backgrounded helper or worker
+processes in the recipe, any single-pick heuristic can watch — and kill —
+the wrong process while the hung one sleeps undetected); when the
+descendant set is unchanged and its total CPU is frozen for
 ``stall_checks * check_s`` seconds — and, if ``--progress_glob`` is
-given, whose progress files' mtimes have not moved either (distinguishes
-the relay's self-recovering slow stalls, CLAUDE.md) — is killed BY PID
-(never by name pattern: a pattern can match unrelated processes, or this
-watchdog itself). The script's ``set -e`` then ends it, and the next loop
-iteration relaunches it to fast-forward to where it died.
+given, the progress files' mtimes have not moved either (distinguishes
+the relay's self-recovering slow stalls, CLAUDE.md) — the descendants are
+killed BY exact PID (never by name pattern: a pattern can match unrelated
+processes, or this watchdog itself). The script's ``set -e`` then ends
+it, and the next loop iteration relaunches it to fast-forward to where it
+died.
 
 The round-3 10k-record shakedown ran under exactly this logic
 (BASELINE.md), surviving one genuine lost-RPC hang unattended.
@@ -113,7 +117,8 @@ def watch(script: str, done_cmd: str, check_s: float = 120.0,
     """Run the supervision loop; returns 0 when ``done_cmd`` succeeds."""
     progress_globs = progress_globs or []
     script_proc: Optional[subprocess.Popen] = None
-    last_pid = last_cpu = None
+    last_pids: Optional[frozenset] = None
+    last_cpu = None
     last_mtime = 0.0
     stall = 0
     relaunches = 0
@@ -129,34 +134,44 @@ def watch(script: str, done_cmd: str, check_s: float = 120.0,
                 ["bash", script], start_new_session=True)
             relaunches += 1
             log(f"launched {script} (pid {script_proc.pid})", log_file)
-            stall, last_pid, last_cpu = 0, None, None
+            stall, last_pids, last_cpu = 0, None, None
             time.sleep(check_s / 2)
             continue
         pys = python_descendants(script_proc.pid)
         if pys:
-            pid = max(pys)  # newest child = the active phase
-            cpu = cpu_jiffies(pid)
+            # aggregate over ALL python descendants: any single-pick
+            # heuristic (e.g. highest PID) can track a healthy helper
+            # while the hung trainer sleeps undetected
+            jiffies = [cpu_jiffies(p) for p in pys]
+            total = sum(j for j in jiffies if j is not None)
+            pid_set = frozenset(pys)
             mtime = newest_progress_mtime(progress_globs)
-            frozen = (cpu is not None and pid == last_pid
-                      and cpu == last_cpu)
+            frozen = pid_set == last_pids and total == last_cpu
             progressing = progress_globs and mtime > last_mtime
             if frozen and not progressing:
                 stall += 1
             else:
                 stall = 0
-            last_pid, last_cpu, last_mtime = pid, cpu, max(mtime, last_mtime)
+            last_pids, last_cpu = pid_set, total
+            last_mtime = max(mtime, last_mtime)
             if stall >= stall_checks:
-                log(f"killing hung python {pid} (cpu frozen at {cpu} "
-                    f"jiffies for {stall_checks * check_s:.0f}s, no "
-                    "progress-file movement)", log_file)
-                try:
-                    os.kill(pid, signal.SIGTERM)  # exactly this pid
-                    time.sleep(10)
-                    if alive(pid):
-                        os.kill(pid, signal.SIGKILL)
-                except OSError:
-                    pass
-                stall, last_pid, last_cpu = 0, None, None
+                log(f"killing hung python subtree {sorted(pid_set)} (total "
+                    f"cpu frozen at {total} jiffies for "
+                    f"{stall_checks * check_s:.0f}s, no progress-file "
+                    "movement)", log_file)
+                for pid in sorted(pid_set):
+                    try:
+                        os.kill(pid, signal.SIGTERM)  # exactly these pids
+                    except OSError:
+                        pass
+                time.sleep(10)
+                for pid in sorted(pid_set):
+                    try:
+                        if alive(pid):
+                            os.kill(pid, signal.SIGKILL)
+                    except OSError:
+                        pass
+                stall, last_pids, last_cpu = 0, None, None
         time.sleep(check_s)
 
 

@@ -85,9 +85,12 @@ def _time_loop(fn: Callable, n_loop: int, trials: int = 3,
 
     With ``analyze=True`` returns ``(ms, cost)`` where ``cost`` carries the
     per-iteration XLA cost analysis of the SAME compiled loop program
-    (``{"gflops", "mbytes"}``, total/n_loop) — no second compile: the AOT
-    executable used for timing is the one analyzed, which matters on this
-    container's remote-compile relay (3–8 min per new TPU program)."""
+    (``{"gflops", "mbytes"}``) — no second compile: the AOT executable used
+    for timing is the one analyzed, which matters on this container's
+    remote-compile relay (3–8 min per new TPU program). XLA's cost analysis
+    counts a ``while``/``fori_loop`` body ONCE regardless of trip count
+    (verified empirically: identical flops/bytes at n_loop 2/8/64), so the
+    reported totals already ARE the per-iteration cost — no division."""
 
     @jax.jit
     def loop(seed):
@@ -106,13 +109,12 @@ def _time_loop(fn: Callable, n_loop: int, trials: int = 3,
             ca = compiled.cost_analysis()
             if isinstance(ca, (list, tuple)):  # older jax wraps in a list
                 ca = ca[0]
-            # the chained loop adds one scalar fma per iteration over fn
-            # itself — noise next to any real stage
+            # loop-body cost is counted once (see docstring) = one
+            # iteration; the chained scalar fma it includes is noise
             cost = {
-                "gflops": round(float(ca.get("flops", 0.0)) / n_loop / 1e9,
-                                3),
+                "gflops": round(float(ca.get("flops", 0.0)) / 1e9, 3),
                 "mbytes": round(
-                    float(ca.get("bytes accessed", 0.0)) / n_loop / 1e6, 2),
+                    float(ca.get("bytes accessed", 0.0)) / 1e6, 2),
             }
         except Exception:  # pragma: no cover - backend-dependent surface
             cost = {}

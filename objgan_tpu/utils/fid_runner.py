@@ -61,16 +61,21 @@ def make_lite_extractor(cfg, params=None, rng=None):
 
 
 def real_stats_cache_path(cfg, manifest: str, n_records: int, mode: str,
-                          inception_pth: Optional[str] = None) -> str:
+                          inception_pth: Optional[str] = None,
+                          records=None,
+                          image_root: Optional[str] = None) -> str:
     """Disk-cache location for a manifest's real-side FID statistics.
 
     The (mu, cov) are identical for every checkpoint evaluated on one
     manifest, so a multi-point quality curve pays the full-manifest pass
     once. The key must change whenever the FEATURE SPACE or the DATA can
     have changed: extractor architecture (``TEXT.CNN_BACKBONE``) and dims
-    key the former; content fingerprints (size + mtime) of the manifest
-    and any strict weights file key the latter — regenerating a dataset in
-    place or swapping the weights file can never silently reuse stale
+    key the former; content fingerprints (size + mtime) of the manifest,
+    of the IMAGE FILES the records reference (aggregate count/bytes/newest
+    mtime — pass ``records`` + ``image_root``; the manifest alone misses
+    images regenerated in place under unchanged filenames), and of any
+    strict weights file key the latter — regenerating a dataset in place
+    or swapping the weights file can never silently reuse stale
     statistics."""
     import hashlib
     import os
@@ -84,6 +89,21 @@ def real_stats_cache_path(cfg, manifest: str, n_records: int, mode: str,
         mode, cfg.TEXT.CNN_BACKBONE, str(cfg.branch_sizes[-1]),
         str(cfg.TEXT.EMBEDDING_DIM),
     ]
+    if records is not None:
+        root = image_root or os.path.dirname(os.path.abspath(manifest))
+        n = total = newest = 0
+        for r in records:
+            f = r.get("image_file")
+            if not f:
+                continue
+            try:
+                st = os.stat(os.path.join(root, f))
+            except OSError:  # missing file fails loudly later in the feed
+                continue
+            n += 1
+            total += st.st_size
+            newest = max(newest, st.st_mtime_ns)
+        parts.append(f"imgs:{n}:{total}:{newest}")
     if inception_pth:
         parts += [os.path.abspath(inception_pth), fingerprint(inception_pth)]
     key = hashlib.sha1("|".join(parts).encode()).hexdigest()[:16]

@@ -135,6 +135,20 @@ def test_real_stats_cache_key_sensitivity(tmp_path):
     w.write_bytes(b"xy")
     assert real_stats_cache_path(cfg, str(m), 10, "strict", str(w)) != k1
 
+    # image payloads: records' image_file contents are fingerprinted too —
+    # regenerating images IN PLACE (manifest untouched) must move the key
+    img = tmp_path / "img0.png"
+    img.write_bytes(b"aaaa")
+    recs = [{"image_file": "img0.png"}]
+    ki = real_stats_cache_path(cfg, str(m), 10, "lite", records=recs,
+                               image_root=str(tmp_path))
+    assert ki == real_stats_cache_path(cfg, str(m), 10, "lite", records=recs,
+                                       image_root=str(tmp_path))
+    time.sleep(0.01)
+    img.write_bytes(b"bbbb")  # same size, new mtime
+    assert real_stats_cache_path(cfg, str(m), 10, "lite", records=recs,
+                                 image_root=str(tmp_path)) != ki
+
 
 def test_save_stats_atomic_roundtrip_and_no_tmp_left(tmp_path):
     import numpy as np

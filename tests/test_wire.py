@@ -174,6 +174,39 @@ def test_wire_cache_policy_is_byte_budgeted(tiny_cfg, monkeypatch):
     assert not pl.wire_cache_allowed(tiny_cfg, 118_000, cache_limit=100)
 
 
+def test_cgroup_mem_limit_reads_own_nested_group(tmp_path):
+    """The RAM probe must read the limit of the cgroup this PROCESS lives
+    in (nested jobs under Slurm/systemd/K8s), taking the tightest limit
+    along the ancestor chain — not only the mount root's."""
+    from objgan_tpu.data.pipeline import _cgroup_mem_limit
+
+    v1 = tmp_path / "memory"
+    nested = v1 / "job" / "task7"
+    nested.mkdir(parents=True)
+    proc = tmp_path / "cgroup"
+    proc.write_text("9:memory:/job/task7\n1:cpu:/job/task7\n")
+    # limit on the nested group only; root unlimited (v1 writes a huge int)
+    (v1 / "memory.limit_in_bytes").write_text(str(1 << 62))
+    (nested / "memory.limit_in_bytes").write_text(str(16 << 30))
+    got = _cgroup_mem_limit(proc_file=str(proc),
+                            v2_root=str(tmp_path / "nope"),
+                            v1_root=str(v1))
+    assert got == 16 << 30
+    # ancestor tighter than leaf: the walk keeps the minimum
+    (v1 / "job" / "memory.limit_in_bytes").write_text(str(8 << 30))
+    got = _cgroup_mem_limit(proc_file=str(proc),
+                            v2_root=str(tmp_path / "nope"),
+                            v1_root=str(v1))
+    assert got == 8 << 30
+    # cgroup-namespaced container: own path absent under the host mount ->
+    # degrade to the mount root's limit (the old behavior)
+    proc.write_text("9:memory:/elsewhere/unmapped\n")
+    got = _cgroup_mem_limit(proc_file=str(proc),
+                            v2_root=str(tmp_path / "nope"),
+                            v1_root=str(v1))
+    assert got == 1 << 62
+
+
 def test_with_masks_false_skips_rasterization(tiny_cfg):
     """Stage-A consumes captions+layouts only: with_masks=False must omit
     the mask tensors in both classic and wire modes (no rasterization, no
