@@ -25,7 +25,6 @@ from __future__ import annotations
 from typing import Dict
 
 import jax.numpy as jnp
-import numpy as np
 
 WIRE_IMAGE = "image_u8"    # (B, S, S, 3) uint8 finest scale
 WIRE_SHAPES = "shapes_u8"  # (B, O, s, s) uint8 in {0, 1}
@@ -48,7 +47,10 @@ def from_wire(cfg, batch: Dict) -> Dict:
     if WIRE_IMAGE in batch:
         img = batch[WIRE_IMAGE].astype(jnp.float32) / 127.5 - 1.0
         sizes = list(cfg.branch_sizes)          # coarse -> fine
-        assert img.shape[1] == sizes[-1], (img.shape, sizes)
+        if img.shape[1] != sizes[-1]:  # shapes are static: checked at trace
+            raise ValueError(
+                f"wire image is {img.shape[1]}px but cfg expects finest "
+                f"scale {sizes[-1]}px ({sizes}) — feed and config disagree")
         pyr = [img]
         for sz in reversed(sizes[:-1]):
             prev = pyr[0]
@@ -56,15 +58,4 @@ def from_wire(cfg, batch: Dict) -> Dict:
             b, h, w, c = prev.shape
             pyr.insert(0, prev.reshape(b, sz, f, sz, f, c).mean((2, 4)))
         out["images"] = pyr
-    return out
-
-
-def to_wire(row: Dict, image_u8: np.ndarray | None,
-            masks: np.ndarray) -> Dict:
-    """Host-side wire assembly for one record: swap the float mask/pyramid
-    entries for their uint8 wire forms. ``image_u8`` None => layout-only."""
-    out = {k: v for k, v in row.items() if k not in ("images", "shapes")}
-    out[WIRE_SHAPES] = masks.astype(np.uint8)
-    if image_u8 is not None:
-        out[WIRE_IMAGE] = image_u8
     return out

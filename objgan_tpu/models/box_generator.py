@@ -161,6 +161,9 @@ class BoxGenerator(nn.Module):
         labels (B, O) with 0 padding; boxes (B, O, 4); obj_valid (B, O).
         Returns per-step label logits (B, O+1, C) — the extra step is the
         STOP prediction after the last object — and box params (B, O, P).
+        NOTE: outputs at padded steps are NOT suppressed here; ``obj_valid``
+        is accepted for batch-API symmetry and all masking lives in
+        :func:`box_loss` (which requires a prefix mask — see its doc).
 
         ``ss_prob`` > 0 enables scheduled sampling (the lineage's
         ``scheduled_sampling_prob``): per step and example, with probability
@@ -422,7 +425,13 @@ class BoxGenerator(nn.Module):
 def box_loss(outputs: Dict[str, jnp.ndarray], labels, boxes, obj_valid,
              num_components: int,
              gmm_mode: str = "diag") -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """CE over labels (incl. the STOP step) + masked GMM NLL over GT boxes."""
+    """CE over labels (incl. the STOP step) + masked GMM NLL over GT boxes.
+
+    ``obj_valid`` must be a PREFIX mask (valid objects first, padding after
+    — the data layer's canonical area-desc ordering guarantees this): the
+    STOP-step CE target sits at index ``sum(obj_valid)``, which is only the
+    first invalid step for prefix masks. Box NLL masks by ``obj_valid``
+    directly, so it is correct for any mask shape."""
     b, o = labels.shape
     # targets at step t: object t for t<O, STOP at the first invalid step.
     n_obj = jnp.sum(obj_valid, axis=1).astype(jnp.int32)  # (B,)
@@ -435,7 +444,8 @@ def box_loss(outputs: Dict[str, jnp.ndarray], labels, boxes, obj_valid,
     ce = -jnp.take_along_axis(logp, tgt_labels[..., None], -1)[..., 0]
     label_loss = jnp.sum(ce * step_valid) / jnp.maximum(jnp.sum(step_valid), 1.0)
 
-    box_valid = (steps[:, :o] < n_obj[:, None]).astype(jnp.float32) * obj_valid
+    box_valid = obj_valid.astype(jnp.float32)  # == steps<n_obj for prefix
+    # masks, and strictly more correct should a non-prefix mask ever appear
     box_nll = gmm.nll(
         outputs["box_params"][:, :o], boxes, num_components, box_valid,
         mode=gmm_mode,

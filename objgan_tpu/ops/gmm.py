@@ -35,7 +35,19 @@ _PAIRS = ((0, 1), (2, 3))
 _RHO_MAX = 0.99  # keep 1-rho^2 bounded away from 0 (sketch-RNN convention)
 
 
+_MODES = ("diag", "corr")
+
+
+def _check_mode(mode: str) -> None:
+    """Every switch below is ``if mode == "corr" else diag`` — without this
+    guard an unrecognized value (typo, wrong case) would silently fall back
+    to diag and quietly disable the ablation-backed corr default."""
+    if mode not in _MODES:
+        raise ValueError(f"unknown GMM mode {mode!r} (known: {_MODES})")
+
+
 def param_size(num_components: int, mode: str = "diag") -> int:
+    _check_mode(mode)
     per = 1 + 2 * BOX_DIM + (len(_PAIRS) if mode == "corr" else 0)
     return num_components * per
 
@@ -79,6 +91,7 @@ def _comp_ll_corr(z, log_sigma, rho):
 def log_prob(params: jnp.ndarray, box: jnp.ndarray, num_components: int,
              mode: str = "diag") -> jnp.ndarray:
     """log p(box | params). box (..., 4) -> (...,)."""
+    _check_mode(mode)
     if mode == "corr":
         logits, mu, log_sigma, rho = split_params_corr(params, num_components)
     else:
@@ -117,6 +130,7 @@ def sample(
     (x,y)/(w,h) pair draws from its correlated bivariate Gaussian via the
     Cholesky transform b = mu_b + sigma_b (rho e_a + sqrt(1-rho^2) e_b).
     """
+    _check_mode(mode)
     if mode == "corr":
         logits, mu, log_sigma, rho = split_params_corr(params, num_components)
     else:
@@ -144,6 +158,7 @@ def mean(params: jnp.ndarray, num_components: int,
     """Mixture mean — the greedy/argmax-free deterministic box estimate.
     (Identical math in both modes: correlation doesn't move the mean, but
     corr params pack extra entries, so the layout must be known.)"""
+    _check_mode(mode)
     if mode == "corr":
         logits, mu, _, _ = split_params_corr(params, num_components)
     else:

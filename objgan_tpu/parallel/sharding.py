@@ -25,11 +25,16 @@ MODEL_AXIS = "model"
 
 
 def maybe_initialize_distributed() -> bool:
-    """Multi-host bring-up (SURVEY.md §2.6): if the standard JAX cluster env
-    is present (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID,
-    or a TPU pod environment auto-detected by jax.distributed), initialize
-    the distributed runtime over DCN. Collectives still ride ICI via the
-    mesh; this only wires cross-host control. Returns True if initialized.
+    """Multi-host bring-up (SURVEY.md §2.6): if the explicit JAX cluster env
+    is present (JAX_COORDINATOR_ADDRESS + JAX_NUM_PROCESSES, plus
+    JAX_PROCESS_ID), initialize the distributed runtime over DCN.
+    Collectives still ride ICI via the mesh; this only wires cross-host
+    control. Returns True if initialized. The env contract is deliberately
+    EXPLICIT — no bare ``jax.distributed.initialize()`` auto-detection —
+    so single-host runs (the common case on this image) can never stall
+    waiting for a coordinator that does not exist; on a real pod, export
+    the three variables (or call ``jax.distributed.initialize()`` yourself
+    before building the feed).
 
     Idempotent and safe to call single-host (no env -> no-op). MUST run
     before anything touches the backend — even ``jax.process_count()``
@@ -44,6 +49,17 @@ def maybe_initialize_distributed() -> bool:
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     if not addr or not nproc:
+        # a multi-host Cloud-TPU environment without the explicit contract
+        # would otherwise train each host INDEPENDENTLY on duplicated data
+        # with no gradient sync — loud warning instead of silent wrongness
+        hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        if "," in hosts:
+            print("WARNING: multi-host TPU environment detected "
+                  f"(TPU_WORKER_HOSTNAMES={hosts!r}) but JAX_COORDINATOR_"
+                  "ADDRESS/JAX_NUM_PROCESSES are unset — skipping "
+                  "jax.distributed.initialize; each host will train "
+                  "independently. Export the cluster env (see this "
+                  "docstring) for real multi-host data parallelism.")
         return False
     jax.distributed.initialize(
         coordinator_address=addr,
@@ -94,8 +110,13 @@ def make_mesh(
 ) -> Mesh:
     """A (data, model) mesh over all local devices.
 
-    The data axis is laid out over the fastest-varying device order so DP
-    all-reduces ride ICI neighbors (jax device order follows slice topology).
+    The MODEL axis is the fastest-varying (innermost) one: with
+    ``model_parallelism > 1`` each model group is a block of adjacent
+    devices in ``jax.devices()`` order (which follows slice topology), so
+    the latency-sensitive TP collectives ride neighboring ICI links; the
+    data axis strides across groups, which bandwidth-bound DP all-reduces
+    tolerate. At ``model_parallelism == 1`` (the parity configuration) the
+    data axis degenerates to plain device order.
     """
     if devices is None:
         devices = jax.devices()

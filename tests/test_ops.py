@@ -71,6 +71,22 @@ class TestCorrGMM:
         assert gmm.param_size(self.K, "corr") == self.K * 11
         assert gmm.param_size(self.K) == self.K * 9
 
+    def test_unknown_mode_rejected_everywhere(self, rng):
+        """Every mode switch is `corr else diag`: an unvalidated typo
+        ('Corr', 'full') would silently disable the ablation-backed corr
+        default, so all entry points must reject unknown modes loudly."""
+        p = jax.random.normal(rng, (2, gmm.param_size(3)))
+        box = jnp.zeros((2, 4))
+        for bad in ("Corr", "full", ""):
+            with pytest.raises(ValueError, match="unknown GMM mode"):
+                gmm.param_size(3, bad)
+            with pytest.raises(ValueError, match="unknown GMM mode"):
+                gmm.log_prob(p, box, 3, mode=bad)
+            with pytest.raises(ValueError, match="unknown GMM mode"):
+                gmm.sample(p, rng, 3, mode=bad)
+            with pytest.raises(ValueError, match="unknown GMM mode"):
+                gmm.mean(p, 3, mode=bad)
+
     def test_log_prob_matches_scipy_oracle(self, rng):
         from scipy.stats import multivariate_normal
 
