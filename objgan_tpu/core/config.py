@@ -102,6 +102,13 @@ class GanConfig:
     # config runs out of HBM — this switch is an OOM escape hatch, not a
     # performance tool.
     REMAT: str = "none"       # "none" | "stages"
+    # Discriminator/object-D compute dtype: "float32" (rounds 1-3 measured
+    # behavior — BASELINE.md rooflines include fp32 D traffic) or "compute"
+    # (follow cfg.DTYPE, i.e. bfloat16 by default — halves D-side HBM bytes
+    # in a train step measured AT the HBM roofline). Default stays float32
+    # until the bf16-D A/B is measured on hardware (throughput + loss-curve
+    # stability), per the repo's measure-then-keep discipline.
+    D_DTYPE: str = "float32"  # "float32" | "compute"
 
 
 @dataclass(frozen=True)

@@ -157,14 +157,23 @@ class ObjectDNet(nn.Module):
         rois = roi_align(x, boxes, out_size=r, sampling_ratio=2)
         b, o = rois.shape[:2]
         roi_feats = rois.reshape(b * o, r, r, rois.shape[-1])
-        h = DownBlock(df * 8, dtype=self.dtype)(roi_feats)
-        h = jnp.mean(h, axis=(1, 2))  # (B*O, 8df)
+        pooled = DownBlock(df * 8, dtype=self.dtype)(roi_feats)
+        pooled = jnp.mean(pooled, axis=(1, 2))  # (B*O, 8df)
+        # Class head consumes ROI features ONLY (Fast R-CNN semantics,
+        # paper §3.4): conditioning it on the label embedding would let it
+        # decode the label from its own input, collapsing the class CE to
+        # ~0 without looking at pixels and starving the generator of the
+        # object-class-fidelity gradient the object D exists to provide.
+        cls_h = _lrelu(nn.Dense(df * 4, dtype=self.dtype,
+                                name="cls_fc")(pooled))
+        cls = nn.Dense(self.cfg.OBJ.NUM_CLASSES, dtype=self.dtype,
+                       name="cls_logits")(cls_h)
+        # Real/fake head stays label-CONDITIONED (conditional-D semantics:
+        # "is this a real object of THIS class at this location?").
         lab = labels_emb.astype(self.dtype).reshape(b * o, -1)
-        h = jnp.concatenate([h, lab], axis=-1)
+        h = jnp.concatenate([pooled, lab], axis=-1)
         h = _lrelu(nn.Dense(df * 4, dtype=self.dtype)(h))
         realfake = nn.Dense(1, dtype=self.dtype, name="obj_logits")(h)
-        cls = nn.Dense(self.cfg.OBJ.NUM_CLASSES, dtype=self.dtype,
-                       name="cls_logits")(h)
         return {
             "obj": realfake.reshape(b, o).astype(jnp.float32),
             "cls": cls.reshape(b, o, -1).astype(jnp.float32),

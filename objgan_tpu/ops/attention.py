@@ -19,6 +19,17 @@ reference tree unavailable):
 
 Layouts are TPU-native: NHWC feature maps flattened to (B, L=H*W, C); every
 contraction is a batched matmul that XLA tiles onto the MXU.
+
+MASK POLARITY — two conventions coexist in this module, matching their
+lineage counterparts; the parameter NAME is the contract:
+  * ``mask`` (masked_softmax / grid_attention / object_attention):
+    boolean, **True = padded/EXCLUDED** (AttnGAN passes ``mask`` of
+    padding positions).
+  * ``query_valid`` (damsm_attention): float/bool, **nonzero = VALID/
+    included** (the lineage's ``cap_lens``-derived validity).
+Passing a True-means-padded mask as ``query_valid`` would attend padding
+only and produce plausible-looking garbage — check the name at every call
+site.
 """
 
 from __future__ import annotations

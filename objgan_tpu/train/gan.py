@@ -88,8 +88,14 @@ class GanTrainer:
         self.cfg = cfg
         self.ema_decay = ema_decay
         self.g_net = GNet(cfg)
-        self.d_nets = build_discriminators(cfg)
-        self.obj_d = ObjectDNet(cfg)
+        if cfg.GAN.D_DTYPE not in ("float32", "compute"):
+            raise ValueError(f"GAN.D_DTYPE must be 'float32' or 'compute', "
+                             f"got {cfg.GAN.D_DTYPE!r}")
+        d_dt = (jnp.bfloat16 if (cfg.GAN.D_DTYPE == "compute"
+                                 and cfg.DTYPE == "bfloat16")
+                else jnp.float32)
+        self.d_nets = build_discriminators(cfg, dtype=d_dt)
+        self.obj_d = ObjectDNet(cfg, dtype=d_dt)
         self.text_enc = build_text_encoder(cfg)
         self.img_enc = build_image_encoder(cfg)
         self.g_tx = optax.adam(cfg.TRAIN.GENERATOR_LR, b1=0.5, b2=0.999)
@@ -104,7 +110,10 @@ class GanTrainer:
 
         batch = from_wire(self.cfg, batch)
         cfg = self.cfg
-        ks = list(jax.random.split(rng, 16))
+        # 6 fixed consumers + one per D scale + the object D: sized off
+        # BRANCH_NUM so a deeper pyramid can never silently reuse a key
+        # (ks[6+i] collided with a fixed objd slot at BRANCH_NUM >= 5)
+        ks = list(jax.random.split(rng, 7 + len(self.d_nets)))
         b = batch["captions"].shape[0]
         t = batch["captions"].shape[1]
 
@@ -136,7 +145,8 @@ class GanTrainer:
             for i, (d, img) in enumerate(zip(self.d_nets, batch["images"]))
         )
         objd_params = self.obj_d.init(
-            ks[10], batch["images"][-1], batch["boxes"], labels_emb
+            ks[6 + len(self.d_nets)], batch["images"][-1], batch["boxes"],
+            labels_emb
         )
         return GanTrainState(
             step=jnp.zeros((), jnp.int32),
@@ -224,6 +234,10 @@ class GanTrainer:
             d_i, aux = discriminator_loss(out_real, out_fake, out_wrong)
             d_total = d_total + d_i
             metrics[f"d_loss{i}"] = d_i
+            # per-term breakdown (real/fake/wrong x cond/uncond), suffixed
+            # per scale: D-collapse diagnosis needs to see WHICH term
+            # diverged, not just the blended d_loss{i}
+            metrics.update({f"{k}{i}": v for k, v in aux.items()})
         objd_real = ck(self.obj_d.apply)(
             objd_params, batch["images"][-1], batch["boxes"], labels_emb
         )

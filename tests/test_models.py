@@ -107,6 +107,15 @@ class TestDiscriminators:
         out = d.apply(params, img, batch["boxes"], labels_emb)
         assert out["obj"].shape == (b, cfg.OBJ.MAX_OBJECTS)
         assert out["cls"].shape == (b, cfg.OBJ.MAX_OBJECTS, cfg.OBJ.NUM_CLASSES)
+        # class head must be a function of ROI pixels ONLY: if it saw the
+        # label embedding it could decode its CE target from its own input
+        # and the generator would lose the class-fidelity gradient
+        labels_emb2 = jax.random.normal(
+            jax.random.PRNGKey(7), labels_emb.shape)
+        out2 = d.apply(params, img, batch["boxes"], labels_emb2)
+        assert jnp.array_equal(out["cls"], out2["cls"])
+        # ...while the real/fake head IS label-conditioned
+        assert not jnp.array_equal(out["obj"], out2["obj"])
 
 
 class TestDamsmLoss:
