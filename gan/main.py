@@ -70,15 +70,19 @@ def build_feed(cfg, args, with_images=True, with_masks=True):
             _, local_b = process_local_batch_slice(cfg.TRAIN.BATCH_SIZE)
             feed_cfg = cfg.merged({"TRAIN": {"BATCH_SIZE": local_b}})
         wire = bool(getattr(args, "wire", False))
+        # training-time augmentation (random flip, <unk> word dropout) must
+        # never touch eval/sampling feeds: a flipped GT layout or dropped
+        # caption word would silently bias every held-out metric
+        augment = bool(cfg.TRAIN.FLAG)
         if getattr(args, "grain", False):
             from objgan_tpu.data.grain_feed import grain_feed
 
             return grain_feed(feed_cfg, records, vocab, seed=cfg.RNG_SEED,
                               with_images=with_images, with_masks=with_masks,
-                              wire=wire), n_global, vocab
+                              augment=augment, wire=wire), n_global, vocab
         return iter(CocoFeed(feed_cfg, records, vocab, seed=cfg.RNG_SEED,
                              with_images=with_images, with_masks=with_masks,
-                             wire=wire)), n_global, vocab
+                             augment=augment, wire=wire)), n_global, vocab
     return None, 0, None
 
 

@@ -102,12 +102,18 @@ def _feed(cfg: Config, data_iter, rng, with_images=True):
         from objgan_tpu.parallel.sharding import process_local_batch_slice
 
         _, local_b = process_local_batch_slice(cfg.TRAIN.BATCH_SIZE)
-        host_rng = jax.random.fold_in(rng, jax.process_index())
+        with _host_cpu():
+            host_rng = jax.random.fold_in(rng, jax.process_index())
         for i in itertools.count():
-            yield synthetic_batch(
-                cfg, jax.random.fold_in(host_rng, i), local_b,
-                with_images=with_images
-            )
+            # generate on host CPU: eager generation on the TPU device
+            # would pay one tiny remote-compiled program per op (3-8 min
+            # each on a cold cache) plus a device->host->device round trip
+            # through the prefetch stack
+            with _host_cpu():
+                yield synthetic_batch(
+                    cfg, jax.random.fold_in(host_rng, i), local_b,
+                    with_images=with_images
+                )
 
 
 class _PrefetchFeed:
@@ -266,11 +272,21 @@ def _run_loop(cfg, stage, trainer_state, step_fn, feed, writer, manager,
             for kind, val in prefetch:
                 if step >= max_steps:
                     break
-                if kind == "exec":
+                if kind == "exec" and max_steps - step >= spe:
                     state, metrics = multi_step_fn(
                         state, val, jax.random.fold_in(rng, step)
                     )
                     step += spe
+                elif kind == "exec":
+                    # ragged tail: max_steps is not K away — single-step
+                    # the first `remaining` stacked batches instead of
+                    # overshooting by up to K-1 (segmented recipes key off
+                    # exact step counts). Pays the single-step compile only
+                    # when max_steps-restored is not a multiple of K.
+                    for k in range(max_steps - step):
+                        bk = jax.tree.map(lambda x, k=k: x[k], val)
+                        state, metrics = run_single(bk, step)
+                        step += 1
                 else:  # "tail": bounded feed's final partial stack
                     state, metrics = run_single(val, step)
                     step += 1
@@ -333,6 +349,10 @@ def train_gan(cfg: Config, data_iter: Optional[Iterator] = None,
     from objgan_tpu.train.gan import GanTrainer
     from objgan_tpu.utils.visualize import build_super_images, save_png
 
+    # multi-host bring-up MUST precede the first backend touch (the
+    # PRNGKey below initializes XLA, after which jax.distributed.initialize
+    # raises); build_feed handles the manifest path, this covers synthetic
+    maybe_initialize_distributed()
     out = _out_dir(cfg, "gan")
     if _already_trained(out, "gan", max_steps):
         return
@@ -416,6 +436,11 @@ def sample_gan(cfg: Config, data_iter: Optional[Iterator] = None,
         restored = ckpt.restore_latest(manager, state)
     if restored is not None:
         state = restored
+    else:
+        print("WARNING: no generator checkpoint found under "
+              f"{cfg.TRAIN.NET_G or os.path.join(_out_dir(cfg, 'gan'), 'ckpt')}"
+              " — sampling with UNTRAINED random weights (noise images); "
+              "check TRAIN.NET_G / OUTPUT_DIR")
     state = jax.device_put(state, jax.devices()[0])
     sample_jit = trainer.jitted_sample()
     n = 0
@@ -454,6 +479,10 @@ def pretrain_damsm(cfg: Config, data_iter: Optional[Iterator] = None,
     from objgan_tpu.train.damsm import DamsmTrainer
     from objgan_tpu.utils.visualize import build_super_images, save_png
 
+    # multi-host bring-up MUST precede the first backend touch (the
+    # PRNGKey below initializes XLA, after which jax.distributed.initialize
+    # raises); build_feed handles the manifest path, this covers synthetic
+    maybe_initialize_distributed()
     out = _out_dir(cfg, "damsm")
     if _already_trained(out, "damsm", max_steps):
         return
@@ -520,6 +549,10 @@ def train_box(cfg: Config, data_iter: Optional[Iterator] = None,
               max_steps: int = 10**9) -> None:
     from objgan_tpu.train.box import BoxTrainer
 
+    # multi-host bring-up MUST precede the first backend touch (the
+    # PRNGKey below initializes XLA, after which jax.distributed.initialize
+    # raises); build_feed handles the manifest path, this covers synthetic
+    maybe_initialize_distributed()
     out = _out_dir(cfg, "box")
     if _already_trained(out, "box", max_steps):
         return
@@ -575,6 +608,11 @@ def sample_box(cfg: Config, captions, cap_lens, out_path: Optional[str] = None,
         restored = ckpt.restore_latest(manager, state)
     if restored is not None:
         state = restored
+    else:
+        print("WARNING: no box-generator checkpoint under "
+              f"{os.path.join(_out_dir(cfg, 'box'), 'ckpt')} — sampling "
+              "with UNTRAINED random weights (layouts will be arbitrary; "
+              "an untrained decoder often emits STOP immediately)")
     state = jax.device_put(state, jax.devices()[0])
     if use_beam is None:
         use_beam = cfg.BOX.BEAM_SIZE > 1
@@ -679,6 +717,10 @@ def train_shape(cfg: Config, data_iter: Optional[Iterator] = None,
                 max_steps: int = 10**9) -> None:
     from objgan_tpu.train.shape import ShapeTrainer
 
+    # multi-host bring-up MUST precede the first backend touch (the
+    # PRNGKey below initializes XLA, after which jax.distributed.initialize
+    # raises); build_feed handles the manifest path, this covers synthetic
+    maybe_initialize_distributed()
     out = _out_dir(cfg, "shape")
     if _already_trained(out, "shape", max_steps):
         return

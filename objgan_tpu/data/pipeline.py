@@ -77,16 +77,38 @@ def _numpy_polygon_fill(poly: np.ndarray, size: int) -> np.ndarray:
 
 
 def _resize_area(img: np.ndarray, size: int) -> np.ndarray:
-    """Box-filter downscale / nearest upscale to (size, size, 3)."""
+    """Area (box-filter) resize to (size, size, C).
+
+    Exact strided mean when the ratio is integer; PIL's BOX filter
+    otherwise — the same filter ``_file_pyramid`` uses, so an inline
+    ``rec['image']`` (e.g. 480x640 COCO) and the identical on-disk file
+    produce the same pixel statistics. Nearest-neighbor subsampling only
+    as a last resort when PIL is unavailable."""
     h, w = img.shape[:2]
     if h == size and w == size:
         return img
     if h % size == 0 and w % size == 0:
         fh, fw = h // size, w // size
         return img.reshape(size, fh, size, fw, -1).mean(axis=(1, 3))
-    yi = (np.arange(size) * h // size).clip(0, h - 1)
-    xi = (np.arange(size) * w // size).clip(0, w - 1)
-    return img[yi][:, xi]
+    try:
+        from PIL import Image
+    except ImportError:  # pragma: no cover - PIL is baked into this image
+        yi = (np.arange(size) * h // size).clip(0, h - 1)
+        xi = (np.arange(size) * w // size).clip(0, w - 1)
+        return img[yi][:, xi]
+    if img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8:
+        return np.asarray(Image.fromarray(img).resize((size, size),
+                                                      Image.BOX))
+    chans = img if img.ndim == 3 else img[..., None]
+    out = np.stack(
+        [np.asarray(Image.fromarray(np.ascontiguousarray(c, np.float32),
+                                    mode="F").resize((size, size),
+                                                     Image.BOX))
+         for c in np.moveaxis(chans, -1, 0)], axis=-1)
+    if np.issubdtype(img.dtype, np.integer):
+        out = np.round(out)
+    out = out.astype(img.dtype)
+    return out if img.ndim == 3 else out[..., 0]
 
 
 class CocoFeed:
@@ -479,19 +501,23 @@ def wire_cache_allowed(cfg: Config, n_records: int,
 
 
 def validate_labels(cfg: Config, records: Sequence[Dict]) -> None:
-    """Fail fast on class ids outside [0, NUM_CLASSES): an out-of-range
+    """Fail fast on class ids outside [1, NUM_CLASSES): an out-of-range
     label one-hots to all-zeros downstream and the object class losses go
-    NaN silently, which is much harder to trace back here."""
+    NaN silently; class id 0 is RESERVED as the STOP/padding token
+    (models/box_generator.py), so a 0-based dataset (labels 0..C-1) would
+    silently train STOP targets mid-sequence — shift such labels up by 1
+    (COCO's own ids are 1-based)."""
     hi = max((int(max(r["labels"])) for r in records if len(r["labels"])),
-             default=0)
+             default=1)
     lo = min((int(min(r["labels"])) for r in records if len(r["labels"])),
-             default=0)
-    if hi >= cfg.OBJ.NUM_CLASSES or lo < 0:
+             default=1)
+    if hi >= cfg.OBJ.NUM_CLASSES or lo < 1:
         raise ValueError(
             f"dataset has class ids in [{lo}, {hi}] but cfg.OBJ.NUM_CLASSES "
-            f"is {cfg.OBJ.NUM_CLASSES}; labels must lie in [0, NUM_CLASSES) "
-            f"(negative ids — e.g. a -1 padding convention — wrap via "
-            f"label_table[-1] downstream)"
+            f"is {cfg.OBJ.NUM_CLASSES}; labels must lie in [1, NUM_CLASSES) "
+            f"— 0 is the reserved STOP/padding class (a 0-based export "
+            f"must be shifted up by 1), and negative ids (e.g. a -1 "
+            f"padding convention) would wrap via label_table[-1]"
         )
 
 

@@ -57,6 +57,27 @@ def test_run_loop_resume_and_flush(tmp_path, tiny_cfg):
     assert mgr.latest_step() == 8
 
 
+def test_run_loop_stops_exactly_at_max_steps(tmp_path, tiny_cfg):
+    """With K=4 and max_steps=6 the loop must single-step the ragged tail
+    instead of overshooting to 8 — segmented recipes key off exact steps."""
+    from objgan_tpu import cli
+
+    cfg = tiny_cfg.replace(DTYPE="float32").merged(
+        {"TRAIN": {"STEPS_PER_EXECUTION": 4, "SNAPSHOT_INTERVAL": 1,
+                   "BATCH_SIZE": 8},
+         "OUTPUT_DIR": str(tmp_path)}
+    )
+    tr = BoxTrainer(cfg)
+    state = tr.init_state(jax.random.PRNGKey(0), next(_feed_n(cfg, 1)))
+    mgr = ckpt.make_manager(str(tmp_path / "ck"))
+    writer = MetricsWriter(str(tmp_path), "t", print_every=10**9)
+    end = cli._run_loop(cfg, "box", state, tr.jitted_train_step(),
+                        _feed_n(cfg, 12), writer, mgr, max_steps=6,
+                        multi_step_fn=tr.jitted_multi_step(donate=False))
+    assert int(jax.device_get(end.step)) == 6
+    assert mgr.latest_step() == 6
+
+
 def test_gan_loads_pretrained_damsm(tmp_path, tiny_cfg):
     """train_gan must pick up the pretrain_DAMSM checkpoint (the reference
     loads NET_E + image encoder before condGAN training) — ADVICE r1 high."""
