@@ -58,9 +58,15 @@ def restore_latest(manager, abstract_state: Any) -> Optional[Any]:
     ``abstract_state`` (a concrete state works as the template).
 
     A checkpoint whose tree no longer matches the model (architecture
-    changed since it was written) is NOT restored: a loud warning is printed
-    and ``None`` returned so the caller starts fresh — matching the
-    reference's behavior of simply not passing a NET_G path.
+    changed since it was written) is NOT restored: a loud warning (with the
+    underlying error) is printed and ``None`` returned so the caller starts
+    fresh — matching the reference's behavior of simply not passing a NET_G
+    path. Only structure/shape mismatches get that fallback: a transient
+    I/O failure (filesystem blip, interrupted read) RAISES instead —
+    silently reinitializing at step 0 would keep saving and rotate the good
+    checkpoints out of max_to_keep, destroying the run it was resuming;
+    crashing lets the supervisor (tools/watchdog.py recipes) relaunch and
+    the retry restore succeed.
     """
     import orbax.checkpoint as ocp
 
@@ -71,11 +77,14 @@ def restore_latest(manager, abstract_state: Any) -> Optional[Any]:
         return manager.restore(
             step, args=ocp.args.StandardRestore(abstract_state)
         )
-    except Exception as e:  # noqa: BLE001 — orbax raises various types
+    except (ValueError, KeyError, TypeError) as e:  # structure mismatch
+        import traceback
+
         print(
             "=" * 72
             + f"\nWARNING: checkpoint at step {step} is INCOMPATIBLE with the"
-            f"\ncurrent model structure and was NOT restored ({type(e).__name__})."
+            f"\ncurrent model structure and was NOT restored:"
+            f"\n{traceback.format_exception_only(type(e), e)[-1].strip()}"
             "\nTraining will start from fresh parameters. Delete or migrate the"
             "\ncheckpoint directory if this is unexpected.\n" + "=" * 72,
             flush=True,

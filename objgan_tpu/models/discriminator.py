@@ -27,12 +27,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from objgan_tpu.core.config import Config
-from objgan_tpu.models.common import gn
+from objgan_tpu.models.common import gn, lrelu as _lrelu
 from objgan_tpu.ops.roi_align import roi_align
-
-
-def _lrelu(x):
-    return nn.leaky_relu(x, 0.2)
 
 
 class DownBlock(nn.Module):

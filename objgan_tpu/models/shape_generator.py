@@ -27,13 +27,11 @@ import jax
 import jax.numpy as jnp
 
 from objgan_tpu.core.config import Config
-from objgan_tpu.models.common import gn
+from objgan_tpu.models.common import gn, lrelu as _lrelu
 from objgan_tpu.ops.lstm import BiConvLSTM
 from objgan_tpu.ops.rasterize import box_maps
 
 
-def _lrelu(x):
-    return nn.leaky_relu(x, 0.2)
 
 
 class _Down(nn.Module):

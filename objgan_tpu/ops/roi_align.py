@@ -10,8 +10,12 @@ On TPU we exploit that ROI boxes are axis-aligned, so bilinear ROI-align is
 where ``A_y (R, H)`` / ``A_x (R, W)`` are per-box interpolation-and-average
 matrices folding the bilinear weights of all ``sampling_ratio`` sub-points of
 each output bin. No gathers, no dynamic shapes — two batched matmuls the MXU
-eats directly. Object count is statically padded to MAX_OBJECTS; invalid rows
-produce all-zero matrices, hence zero features.
+eats directly. Object count is statically padded to MAX_OBJECTS. NOTE:
+padded (all-zero) boxes do NOT yield zero features — a degenerate box clamps
+every sample to pixel (0, 0) with full weight, so padded slots return the
+top-left pixel's features (tests/test_ops.py::test_zero_box_gives_top_left
+pins this). Callers MUST mask by ``obj_valid`` (losses/gan_loss.py does);
+never sum unmasked over the object axis.
 
 Two implementations with identical semantics (torchvision ``roi_align`` with
 ``aligned=True``, verified by tests against the torch CPU oracle):
@@ -195,12 +199,17 @@ def _pallas_bwd(boxes, out_size, sampling_ratio, f_shape, f_dtype, g):
         # accumulation pattern, initialized at o == 0
         out_specs=pl.BlockSpec((1, h, w, c), lambda i, j, boxes_ref: (i, 0, 0, 0)),
     )
-    return pl.pallas_call(
+    # Accumulate df in fp32 across the object grid steps (overlapping boxes
+    # add into the same feature block; a bf16 running sum would round at
+    # every add and diverge from roi_align_xla's fp32-summed backward) and
+    # cast once to the cotangent dtype at the end.
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(f_shape, f_dtype),
+        out_shape=jax.ShapeDtypeStruct(f_shape, jnp.float32),
         interpret=INTERPRET,
     )(boxes.reshape(b * o, 4).astype(jnp.float32), g)
+    return out.astype(f_dtype)
 
 
 @functools.lru_cache(maxsize=None)

@@ -32,6 +32,11 @@ def activation_stats(feats: np.ndarray,
     sufficient statistics of one FID side (cacheable: the real side is
     identical across every checkpoint evaluated on the same manifest)."""
     f = np.asarray(feats, np.float64)
+    if f.shape[0] < 2:
+        raise ValueError(
+            f"activation_stats needs >= 2 samples for a covariance, got "
+            f"{f.shape[0]} — a 1-sample FID would be NaN (and, worse, could "
+            f"be cached as a manifest's real-side statistics)")
     return f.mean(0), np.cov(f, rowvar=False) + eps * np.eye(f.shape[1])
 
 
@@ -82,7 +87,10 @@ def r_precision(
 ) -> float:
     """Paper's R-precision: for each image, rank its true caption against
     ``n_mismatched`` random captions by cosine similarity; score is the
-    fraction ranked first."""
+    fraction ranked STRICTLY first. Ties count as misses: the true caption
+    sits at candidate index 0, so an argmax convention would hand a
+    collapsed encoder (all similarities equal) a perfect 1.0 — the exact
+    inversion of what the metric must signal."""
     s = np.asarray(sent_embs, np.float64)
     g = np.asarray(image_feats, np.float64)
     s = s / np.clip(np.linalg.norm(s, axis=1, keepdims=True), 1e-12, None)
@@ -95,5 +103,7 @@ def r_precision(
                            size=min(n_mismatched, n - 1), replace=False)
         cand = np.concatenate([[i], wrong])
         sims = s[cand] @ g[i]
-        hits += int(np.argmax(sims) == 0)
+        # strictly-first; ties = miss (see docstring). n==1 has no
+        # mismatched candidates at all — scored 0, not a vacuous hit.
+        hits += int(sims.size > 1 and sims[0] > np.max(sims[1:]))
     return hits / max(n, 1)
