@@ -216,12 +216,13 @@ def d_net_name_map(cfg, img_size: int) -> Dict[str, str]:
     models/discriminator.py:DNet for one pyramid scale.
 
     Covered: the ``encode_image_by_16times`` trunk convs (except the first,
-    whose input grows by the layout-canvas channels here), the deeper
-    down/compress convs of D_NET128/256 where widths line up, the
-    ``jointConv`` conditional block and both logit heads. BN entries skip.
+    whose input grows by the layout-canvas channels here, so it is NOT
+    mapped — mapping it would put a permanent 3-vs-4-channel entry in
+    ``skipped_shape`` on every load), the deeper down/compress convs of
+    D_NET128/256 where widths line up, the ``jointConv`` conditional block
+    and both logit heads. BN entries skip.
     """
     m = {
-        "img_code_s16.0.weight": "down_blocks_0/Conv_0/kernel",
         "img_code_s16.2.weight": "down_blocks_1/Conv_0/kernel",
         "img_code_s16.5.weight": "down_blocks_2/Conv_0/kernel",
         "img_code_s16.8.weight": "down_blocks_3/Conv_0/kernel",
@@ -246,8 +247,11 @@ def load_lineage_partial(params, state_dict: Mapping,
     """Best-effort lineage checkpoint import: load every mapped entry whose
     converted shape matches the param tree; 1x1-conv kernels squeeze onto
     Dense targets. Returns ``(params, report)`` where report lists
-    ``loaded`` / ``skipped_bn`` / ``skipped_shape`` / ``unmapped`` torch
-    names — callers decide how loud to be about the skips."""
+    ``loaded`` / ``skipped_bn`` / ``skipped_shape`` (target exists, widths
+    diverge) / ``missing_target`` (map entry points at a param path absent
+    from this model — a stale map or shrunken config, not a width
+    mismatch) / ``unmapped`` torch names — callers decide how loud to be
+    about the skips."""
     import numpy as np
 
     from objgan_tpu.core.checkpoint import (
@@ -260,7 +264,7 @@ def load_lineage_partial(params, state_dict: Mapping,
 
     shapes = {k: tuple(getattr(v, "shape", ())) for k, v in state_dict.items()}
     report = {"loaded": [], "skipped_bn": [], "skipped_shape": [],
-              "unmapped": []}
+              "missing_target": [], "unmapped": []}
     converted = {}
     for tname, tensor in state_dict.items():
         if tname not in name_map:
@@ -270,7 +274,7 @@ def load_lineage_partial(params, state_dict: Mapping,
             continue
         target = name_map[tname]
         if target not in flat:
-            report["skipped_shape"].append(tname)
+            report["missing_target"].append(tname)
             continue
         arr = tensor.detach().cpu().numpy() if hasattr(tensor, "detach") \
             else np.asarray(tensor)

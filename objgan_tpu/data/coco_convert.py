@@ -78,8 +78,17 @@ def convert(
             seg = a.get("segmentation")
             poly = None
             if isinstance(seg, list) and seg and isinstance(seg[0], list):
-                # largest polygon part, normalized to image coords
-                part = max(seg, key=len)
+                # largest-AREA polygon part (shoelace), normalized to image
+                # coords — vertex count would pick a highly-detailed sliver
+                # over the actual body of an occlusion-split instance
+                def _area(part):
+                    p = np.asarray(part, np.float64).reshape(-1, 2)
+                    x_, y_ = p[:, 0], p[:, 1]
+                    return 0.5 * abs(float(
+                        np.dot(x_, np.roll(y_, -1))
+                        - np.dot(y_, np.roll(x_, -1))))
+
+                part = max(seg, key=_area)
                 p = np.asarray(part, np.float64).reshape(-1, 2)
                 poly = (p / [w, h]).tolist()
             labels.append(COCO_ID_TO_CONTIGUOUS[a["category_id"]])

@@ -37,7 +37,21 @@ def tokenize(caption: str) -> List[str]:
 
 class Vocab:
     def __init__(self, wordtoix: Dict[str, int]):
-        assert wordtoix.get(PAD_TOKEN, 0) == PAD
+        # id 0 is PAD everywhere downstream (validity masks, decode): it
+        # must belong to PAD_TOKEN and to nothing else. The check is
+        # explicit — a .get(default=0) guard would pass vacuously when
+        # '<end>' is absent while a REAL word owns index 0, making that
+        # word silently vanish from attention and decoding.
+        if wordtoix.get(PAD_TOKEN) != PAD:
+            raise ValueError(
+                f"vocab must map {PAD_TOKEN!r} to index {PAD} (got "
+                f"{wordtoix.get(PAD_TOKEN)!r}); index 0 is the framework-"
+                "wide padding id")
+        owners = [w for w, i in wordtoix.items() if i == PAD]
+        if owners != [PAD_TOKEN]:
+            raise ValueError(
+                f"vocab index {PAD} is owned by {owners!r}; only "
+                f"{PAD_TOKEN!r} may map to the padding id")
         self.wordtoix = dict(wordtoix)
         self.ixtoword = {i: w for w, i in wordtoix.items()}
         # None for reference pickles that predate the token (OOV words are
@@ -61,9 +75,16 @@ class Vocab:
     @classmethod
     def from_reference_pickle(cls, path: str) -> "Vocab":
         """Load the lineage's ``captions.pickle`` ([train, test, ixtoword,
-        wordtoix]) so reference-tokenized datasets port unchanged."""
+        wordtoix]) so reference-tokenized datasets port unchanged. The
+        artifact is written by a Python-2 pipeline: py2 ``str`` bytes need
+        ``encoding='latin1'`` to unpickle under py3 (COCO captions contain
+        non-ASCII), so that path is tried on UnicodeDecodeError."""
         with open(path, "rb") as f:
-            data = pickle.load(f)
+            try:
+                data = pickle.load(f)
+            except UnicodeDecodeError:
+                f.seek(0)
+                data = pickle.load(f, encoding="latin1")
         wordtoix = data[3] if isinstance(data, (list, tuple)) else data
         return cls(dict(wordtoix))
 
@@ -99,6 +120,10 @@ class Vocab:
         return caps, lens
 
     def decode(self, ids: Sequence[int]) -> str:
+        # ids outside the vocab (padded embedding tables, mismatched
+        # checkpoint/vocab pairs) render as '#<id>' placeholders — decode
+        # sits on logging/visualization paths and must not crash them
         return " ".join(
-            self.ixtoword[int(i)] for i in ids if int(i) != PAD
+            self.ixtoword.get(int(i), f"#{int(i)}")
+            for i in ids if int(i) != PAD
         )

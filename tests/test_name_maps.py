@@ -205,7 +205,11 @@ class TestGDNetPartialLoad:
 
         sd["img_code_s16.0.weight"] = torch.zeros(k[3], 3, k[0], k[1])
         loaded, report = load_lineage_partial(params, sd, name_map)
-        assert "img_code_s16.0.weight" in report["skipped_shape"]
+        # the first trunk conv is deliberately NOT in the map (its input
+        # gains the layout-canvas channels here): it must surface as
+        # unmapped, not as permanent skipped_shape noise
+        assert "img_code_s16.0.weight" in report["unmapped"]
+        assert "img_code_s16.0.weight" not in report["skipped_shape"]
         assert "img_code_s16.2.weight" in report["loaded"]
         assert "COND_DNET.outlogits.0.bias" in report["loaded"]
         got = _flat_paths(loaded)["uncond_logits/kernel"]
