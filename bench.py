@@ -118,6 +118,10 @@ def main():
     from objgan_tpu.data.synthetic import synthetic_batch
     from objgan_tpu.train.gan import GanTrainer
 
+    # NOTE: the headline sampling/train loops run on ONE device
+    # (device_put on jax.devices()[0], no mesh) so their per-chip numbers
+    # divide by 1; only the --feed path shards the batch over the mesh and
+    # divides by the device count.
     n_chips = jax.device_count()
     if args.quick:
         cfg = tiny_test_config()
@@ -185,7 +189,7 @@ def main():
         jax.block_until_ready(sample_loop(state, batch, keys[1 + t]))
         trials.append((time.perf_counter() - t0) / n_loop)
     dt = min(trials)
-    imgs_per_sec = batch_size / dt / max(n_chips, 1)
+    imgs_per_sec = batch_size / dt  # single-device loop: per-chip = /1
     extras["sampling_device_loop_ms"] = round(dt * 1e3, 3)
 
     sample = jax.jit(lambda s, b, r: trainer.sample(s, b, r)["images"][-1])
@@ -223,7 +227,7 @@ def main():
     dt_train = (time.perf_counter() - t0) / n_train
     extras["train_step_ms"] = round(dt_train * 1e3, 3)
     extras["train_images_per_sec_per_chip"] = round(
-        batch_size / dt_train / max(n_chips, 1), 3
+        batch_size / dt_train, 3
     )
     if args.analyze:
         # train-step roofline (VERDICT r2 weak #2): flops/bytes of the full
@@ -271,7 +275,7 @@ def main():
     dt_sust = (time.perf_counter() - t0) / (n_multi * k_exec)
     extras["train_sustained_ms"] = round(dt_sust * 1e3, 3)
     extras["train_sustained_images_per_sec_per_chip"] = round(
-        batch_size / dt_sust / max(n_chips, 1), 3
+        batch_size / dt_sust, 3
     )
     if "train_gflops" in extras:  # sustained-roofline view (per-step cost)
         extras["train_sustained_achieved_tflops"] = round(
@@ -312,7 +316,7 @@ def main():
         _, dt64 = _bench(s64, lambda i: (state, batch, keys[i]),
                          iters=iters)
         extras["stage1_64px_images_per_sec_per_chip"] = round(
-            batch_size / dt64 / max(n_chips, 1), 2
+            batch_size / dt64, 2
         )
 
         # composed caption -> layout -> mask -> image pipeline (all three
@@ -347,7 +351,7 @@ def main():
         dt_pipe = min(trials)
         extras["pipeline_e2e_ms"] = round(dt_pipe * 1e3, 3)
         extras["pipeline_e2e_images_per_sec_per_chip"] = round(
-            batch_size / dt_pipe / max(n_chips, 1), 2
+            batch_size / dt_pipe, 2
         )
 
     if args.breakdown:
@@ -378,7 +382,6 @@ def main():
         # real-data sustained training: wire-format CocoFeed + the
         # _PrefetchFeed host->device pipeline, exactly the production
         # train-loop path (cli._run_loop), measured as steps/s.
-        import os as _os
 
         from objgan_tpu import cli as _cli
         from objgan_tpu.data.pipeline import CocoFeed, load_records_json
@@ -387,7 +390,7 @@ def main():
 
         records = load_records_json(args.feed)
         vocab = Vocab.build(c for r in records for c in r["captions"])
-        feed_cfg = cfg.replace(DATA_DIR=_os.path.dirname(args.feed) or ".")
+        feed_cfg = cfg.replace(DATA_DIR=os.path.dirname(args.feed) or ".")
         feed = CocoFeed(feed_cfg, records, vocab, seed=0,
                         wire=not args.feed_classic)
         if not args.feed_classic and feed._cache is not None:

@@ -42,6 +42,23 @@ class MetricsWriter:
         row.update({k: float(v) for k, v in metrics.items()})
         if self._writer is None:
             self._fields = list(row)
+            if os.path.exists(self.path) and os.path.getsize(self.path):
+                # resume-append: the existing file's header IS the schema —
+                # writing this run's key order under the old header would
+                # silently misalign columns if a code change added/reordered
+                # metrics. Unknown-to-old-header keys are dropped from the
+                # CSV (with one loud notice) rather than corrupting it.
+                with open(self.path, newline="") as f:
+                    existing = next(csv.reader(f), None)
+                if existing:
+                    dropped = [k for k in row if k not in existing]
+                    if dropped:
+                        print(f"NOTE: resuming {self.path} with its "
+                              f"existing CSV schema; new metric keys "
+                              f"{dropped} are not recorded in the CSV "
+                              "(start a fresh file to include them)",
+                              flush=True)
+                    self._fields = existing
             self._file = open(self.path, "a", newline="")
             self._writer = csv.DictWriter(self._file, fieldnames=self._fields)
             if self._file.tell() == 0:
@@ -72,3 +89,8 @@ class MetricsWriter:
             self._file.close()
             self._file = None
             self._writer = None
+        if self._tb is not None:
+            # unflushed tf.summary buffers would drop the tail of the run
+            self._tb.flush()
+            self._tb.close()
+            self._tb = None

@@ -57,12 +57,26 @@ def vocab_table(
     words: Sequence[str], dim: int, glove_path: Optional[str] = None
 ) -> np.ndarray:
     """(len(words), dim) table; multi-word names average their word vectors
-    (the lineage's treatment of two-word COCO classes)."""
-    glove = (
-        load_glove_file(glove_path, dim)
-        if glove_path and os.path.exists(glove_path)
-        else {}
-    )
+    (the lineage's treatment of two-word COCO classes).
+
+    An EXPLICITLY supplied ``glove_path`` that is missing or yields no
+    vectors at this ``dim`` raises: the caller asked for real GloVe
+    embeddings, and silently degrading every word to the crc32-seeded
+    random fallback is the exact failure this loud check prevents
+    (e.g. a 300d file opened with dim=128 parses zero lines)."""
+    glove = {}
+    if glove_path:
+        if not os.path.exists(glove_path):
+            raise FileNotFoundError(
+                f"GloVe file {glove_path!r} does not exist (TEXT.GLOVE_PATH "
+                "points nowhere — fix the path or unset it to use the "
+                "documented random-fallback vectors)")
+        glove = load_glove_file(glove_path, dim)
+        if not glove:
+            raise ValueError(
+                f"GloVe file {glove_path!r} contains no {dim}-d vectors — "
+                "dimension mismatch? (a glove.6B.300d.txt read with "
+                f"dim={dim} parses zero lines)")
     out = np.zeros((len(words), dim), np.float32)
     for i, name in enumerate(words):
         vecs = []

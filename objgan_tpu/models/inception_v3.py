@@ -191,7 +191,12 @@ class InceptionV3(nn.Module):
         b = images.shape[0]
         x = images.astype(self.dtype)
         if x.shape[1] != 299:
-            x = jax.image.resize(x, (b, 299, 299, 3), method="bilinear")
+            # antialias=False: torch F.interpolate(bilinear) applies no
+            # antialiasing filter, and parity with the torchvision graph is
+            # this module's entire purpose (jax's default True would change
+            # every downstream activation for inputs > 299px)
+            x = jax.image.resize(x, (b, 299, 299, 3), method="bilinear",
+                                 antialias=False)
         x = BasicConv2d(32, (3, 3), strides=(2, 2), dtype=self.dtype,
                         name="Conv2d_1a_3x3")(x)
         x = BasicConv2d(32, (3, 3), dtype=self.dtype, name="Conv2d_2a_3x3")(x)

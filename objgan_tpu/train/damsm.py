@@ -38,7 +38,22 @@ class DamsmTrainer:
             optax.clip_by_global_norm(cfg.TRAIN.RNN_GRAD_CLIP),
             optax.adam(cfg.TRAIN.ENCODER_LR, b1=0.5, b2=0.999),
         )
-        self.img_tx = optax.adam(cfg.TRAIN.ENCODER_LR, b1=0.5, b2=0.999)
+        img_adam = optax.adam(cfg.TRAIN.ENCODER_LR, b1=0.5, b2=0.999)
+        if cfg.TEXT.CNN_BACKBONE == "inception":
+            # the Inception backbone is frozen (stop_gradient in
+            # InceptionEncoder): its grads are identically zero, so plain
+            # Adam would allocate, update, and checkpoint ~190 MB of m/v
+            # moments that can never change — mask the optimizer down to
+            # the trainable emb_features/emb_cnn_code projections
+            def _trainable(params):
+                return jax.tree_util.tree_map_with_path(
+                    lambda path, _: not any(
+                        getattr(k, "key", None) == "backbone" for k in path
+                    ), params)
+
+            self.img_tx = optax.masked(img_adam, _trainable)
+        else:
+            self.img_tx = img_adam
 
     def init_state(self, rng: jax.Array, batch) -> DamsmTrainState:
         from objgan_tpu.data.wire import from_wire
