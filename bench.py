@@ -86,6 +86,11 @@ def main():
                          "VMEM are remat's claimed regime)")
     ap.add_argument("--df_dim", type=int, default=0,
                     help="GAN.DF_DIM override (see --gf_dim)")
+    ap.add_argument("--d_dtype", default=None,
+                    choices=["float32", "compute"],
+                    help="GAN.D_DTYPE override (bf16-discriminator A/B: "
+                         "the train step is HBM-roofline-bound and fp32 D "
+                         "trunks carry 2x the bytes)")
     ap.add_argument("--feed", default=None,
                     help="dataset manifest: measure REAL-DATA sustained "
                          "training steps/s through the wire-format host "
@@ -140,6 +145,8 @@ def main():
         cfg = cfg.merged({"GAN": {"GF_DIM": args.gf_dim}})
     if args.df_dim:
         cfg = cfg.merged({"GAN": {"DF_DIM": args.df_dim}})
+    if args.d_dtype:
+        cfg = cfg.merged({"GAN": {"D_DTYPE": args.d_dtype}})
 
     rng = jax.random.PRNGKey(0)
     trainer = GanTrainer(cfg)
