@@ -35,31 +35,50 @@ class ObjGanPipeline:
         self.gan = GanTrainer(cfg)
 
     def init_states(self, rng: jax.Array, batch: Dict) -> Dict:
-        """Fresh states (use load_states for checkpointed ones)."""
+        """Fresh states (use load_states for checkpointed ones). Init runs
+        on the host CPU (the dozens of tiny eager init programs take
+        minutes each through a remote-compile TPU path — bench.py's rule);
+        callers get host arrays to device_put where they like."""
         k1, k2, k3 = jax.random.split(rng, 3)
-        return {
-            "box": self.box.init_state(k1, batch),
-            "shape": self.shape.init_state(k2, batch),
-            "gan": self.gan.init_state(k3, batch),
-        }
+        with jax.default_device(jax.devices("cpu")[0]):
+            return {
+                "box": self.box.init_state(k1, batch),
+                "shape": self.shape.init_state(k2, batch),
+                "gan": self.gan.init_state(k3, batch),
+            }
 
     def load_states(self, rng: jax.Array, batch: Dict,
-                    output_dir: Optional[str] = None) -> Dict:
-        """Restore each stage's latest checkpoint where one exists."""
+                    output_dir: Optional[str] = None,
+                    device=None) -> Dict:
+        """Restore each stage's latest checkpoint. The gan stage honors
+        ``cfg.TRAIN.NET_G`` (the lineage sampling knob, same as
+        cli.sample_gan); stages with no checkpoint warn LOUDLY and keep
+        untrained weights. Restored states are device_put onto ``device``
+        (default: the first default-backend device)."""
         import os
 
         from objgan_tpu.core import checkpoint as ckpt
 
         states = self.init_states(rng, batch)
         base = output_dir or self.cfg.OUTPUT_DIR
-        for name in ("box", "shape", "gan"):
-            d = os.path.join(base, f"{self.cfg.CONFIG_NAME}_{name}", "ckpt")
-            if os.path.isdir(d):
-                mgr = ckpt.make_manager(d)
-                restored = ckpt.restore_latest(mgr, states[name])
+        with jax.default_device(jax.devices("cpu")[0]):
+            for name in ("box", "shape", "gan"):
+                d = os.path.join(base, f"{self.cfg.CONFIG_NAME}_{name}",
+                                 "ckpt")
+                if name == "gan" and self.cfg.TRAIN.NET_G:
+                    d = self.cfg.TRAIN.NET_G
+                restored = None
+                if os.path.isdir(d):
+                    mgr = ckpt.make_manager(d)
+                    restored = ckpt.restore_latest(mgr, states[name])
                 if restored is not None:
                     states[name] = restored
-        return states
+                else:
+                    print(f"WARNING: no {name} checkpoint under {d} — the "
+                          f"composed pipeline will run this stage with "
+                          f"UNTRAINED random weights")
+        dev = device or jax.devices()[0]
+        return jax.device_put(states, dev)
 
     def generate(self, states: Dict, captions: jnp.ndarray,
                  cap_lens: jnp.ndarray, rng: jax.Array) -> Dict:
@@ -71,11 +90,9 @@ class ObjGanPipeline:
         o = cfg.OBJ.MAX_OBJECTS
         k_box, k_shape, k_gan = jax.random.split(rng, 3)
 
-        # Stage A: layout
-        layout = self.box.model.apply(
-            states["box"].params, captions, cap_lens, k_box,
-            method="sample",
-        )
+        # Stage A: layout (the trainer's own sampler — temperature wiring
+        # etc. stay defined in exactly one place)
+        layout = self.box.sample(states["box"], captions, cap_lens, k_box)
         labels, boxes, valid = (
             layout["labels"], layout["boxes"], layout["obj_valid"]
         )
@@ -90,13 +107,9 @@ class ObjGanPipeline:
                 labels[:, :o], boxes[:, :o], valid[:, :o]
             )
 
-        # Stage B: per-object masks
-        shape_state = states["shape"]
-        labels_emb_b = shape_state.label_table[labels]
-        mask_logits = self.shape.g.apply(
-            shape_state.g_params, boxes, labels_emb_b, valid, k_shape
-        )
-        masks = jax.nn.sigmoid(mask_logits)
+        # Stage B: per-object masks (trainer sampler, same reasoning)
+        masks = self.shape.sample(states["shape"], boxes, labels, valid,
+                                  k_shape)
 
         # Stage C: image synthesis conditioned on the generated layout
         gan_state = states["gan"]

@@ -27,9 +27,13 @@ def _report(tag: str, report: dict) -> None:
     print(f"{tag}: loaded {len(report['loaded'])} params; "
           f"skipped {len(report['skipped_bn'])} BatchNorm entries "
           f"(GroupNorm divergence), {len(report['skipped_shape'])} "
-          f"shape-mismatched, {len(report['unmapped'])} unmapped")
+          f"shape-mismatched, {len(report['missing_target'])} "
+          f"missing-target (stale map entry / shrunken config), "
+          f"{len(report['unmapped'])} unmapped")
     for name in report["skipped_shape"]:
         print(f"  shape-mismatch: {name}")
+    for name in report["missing_target"]:
+        print(f"  missing-target: {name}")
 
 
 def convert(cfg, g_pth: str | None, d_pths, out_dir: str):
@@ -53,7 +57,22 @@ def convert(cfg, g_pth: str | None, d_pths, out_dir: str):
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         batch = synthetic_batch(cfg, rng, 2)
-        state = trainer.init_state(rng, batch)
+        # Seed the state's DAMSM encoders from TRAIN.NET_E: a full-state
+        # restore of this checkpoint later (cli.sample_gan / gan/eval.py)
+        # OVERWRITES whatever encoders the restorer loaded first, so random
+        # encoders baked in here would silently clobber pretrained ones.
+        from objgan_tpu.cli import load_damsm_encoders
+
+        text_params, img_params = load_damsm_encoders(cfg, rng, batch)
+        if text_params is None:
+            print("WARNING: no pretrained DAMSM checkpoint found "
+                  "(TRAIN.NET_E) — the converted GanTrainState will carry "
+                  "RANDOM text/image encoders, and restoring it overwrites "
+                  "any encoders loaded at sampling time. Run "
+                  "tools/convert_damsm first and set TRAIN.NET_E, then "
+                  "re-convert.")
+        state = trainer.init_state(rng, batch, text_params=text_params,
+                                   img_params=img_params)
         if g_pth:
             g_sd = _load_state_dict(g_pth)
             g_params, rep = load_lineage_partial(

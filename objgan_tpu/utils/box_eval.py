@@ -119,13 +119,17 @@ def layout_stats(trainer, state, batches: Iterable[Dict], rng,
         counts["gt"].append(float((np.asarray(batch["obj_valid"]) > 0).sum(-1)
                                   .mean()))
         counts["sampled"].append(float((sm_valid > 0).sum(-1).mean()))
-    n = max(len(agg["matched_iou"]), 1)
+    if not agg["matched_iou"]:
+        # np.mean([]) would return NaN with a warning; fail like
+        # heldout_nll does for the same empty-input condition
+        raise ValueError("layout_stats got an empty batches iterable")
+    n = len(agg["matched_iou"])
     gt_hist, sm_hist = gt_hist / n, sm_hist / n
     # total-variation distance between label distributions, in [0, 1]
     tv = 0.5 * float(np.abs(gt_hist - sm_hist).sum())
     return {
-        "matched_iou": float(np.mean(agg["matched_iou"])) if n else 0.0,
-        "match_rate": float(np.mean(agg["match_rate"])) if n else 0.0,
+        "matched_iou": float(np.mean(agg["matched_iou"])),
+        "match_rate": float(np.mean(agg["match_rate"])),
         "label_tv_distance": tv,
         "mean_objects_gt": float(np.mean(counts["gt"])),
         "mean_objects_sampled": float(np.mean(counts["sampled"])),

@@ -28,9 +28,13 @@ def make_inception_extractor(params=None, rng=None):
 
     model = InceptionV3()
     if params is None:
-        params = model.init(
-            rng or jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3))
-        )
+        # `rng or key` would bool() a uint32 key array (ValueError); and
+        # init runs on host CPU — eager init programs take minutes each
+        # through the remote-compile TPU path (bench.py rule)
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = model.init(rng, jnp.zeros((1, 299, 299, 3)))
+        params = jax.device_put(params, jax.devices()[0])
 
     @jax.jit
     def extract(p, images):
@@ -46,9 +50,10 @@ def make_lite_extractor(cfg, params=None, rng=None):
     enc = build_image_encoder(cfg)
     size = cfg.branch_sizes[-1]
     if params is None:
-        params = enc.init(
-            rng or jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3))
-        )
+        rng = jax.random.PRNGKey(0) if rng is None else rng  # no bool(key)
+        with jax.default_device(jax.devices("cpu")[0]):  # CPU init rule
+            params = enc.init(rng, jnp.zeros((1, size, size, 3)))
+        params = jax.device_put(params, jax.devices()[0])
 
     @jax.jit
     def extract(p, images):
