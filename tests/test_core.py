@@ -347,3 +347,41 @@ class TestAugmentation:
         rows = [feed._one(rec) for _ in range(5)]
         for r in rows:
             np.testing.assert_allclose(r["boxes"][0], [0.1, 0.2, 0.3, 0.4])
+
+
+def test_metrics_writer_resume_keeps_existing_schema(tmp_path, capsys):
+    """Resume-append must adopt the existing CSV header: writing a changed
+    key set under the old header would silently misalign columns."""
+    import csv as _csv
+
+    from objgan_tpu.core.metrics import MetricsWriter
+
+    w1 = MetricsWriter(str(tmp_path), "t", print_every=10**9)
+    w1.write(1, {"a": 1.0, "b": 2.0})
+    w1.close()
+    # resumed run adds a key 'c' and drops 'b'
+    w2 = MetricsWriter(str(tmp_path), "t", print_every=10**9)
+    w2.write(2, {"a": 3.0, "c": 9.0})
+    w2.close()
+    out = capsys.readouterr().out
+    assert "existing CSV schema" in out and "'c'" in out
+    with open(tmp_path / "t_metrics.csv", newline="") as f:
+        rows = list(_csv.DictReader(f))
+    assert rows[0]["a"] == "1.0" and rows[0]["b"] == "2.0"
+    assert rows[1]["a"] == "3.0" and rows[1]["b"] == ""  # aligned, not shifted
+    assert "c" not in rows[1]
+
+
+def test_vocab_table_explicit_glove_path_strict(tmp_path):
+    """An explicitly-supplied GloVe file that is missing or dim-mismatched
+    must raise, not silently fall back to random vectors."""
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        vocab_table(["dog"], 4, str(tmp_path / "nope.txt"))
+    g = tmp_path / "glove.txt"
+    g.write_text("dog 0.1 0.2 0.3\n")  # 3-d vectors
+    with pytest.raises(ValueError, match="no 4-d vectors"):
+        vocab_table(["dog"], 4, str(g))
+    out = vocab_table(["<end>", "dog"], 3, str(g))  # matching dim works
+    np.testing.assert_allclose(out[1], [0.1, 0.2, 0.3])
