@@ -37,8 +37,40 @@ def _merge_into(dc, overrides: Mapping[str, Any]):
             # yml gives lists; tuples keep the config hashable for jit.
             if isinstance(value, list):
                 value = tuple(value)
-            if f.type in ("float",) and isinstance(value, int):
-                value = float(value)
+            # Type coercion + validation (the lineage cfg_from_file raised
+            # on type mismatch; dropping that lets e.g. 'LR: 2e-4' — which
+            # PyYAML 1.1 parses as the STRING '2e-4' — silently store a str
+            # into a float field and crash far away in optimizer math).
+            if f.type == "float":
+                if not isinstance(value, bool) and \
+                        isinstance(value, (int, str)):
+                    try:
+                        value = float(value)
+                    except ValueError:
+                        pass  # falls through to the mismatch error below
+                if isinstance(value, bool) or not isinstance(value, float):
+                    raise ValueError(
+                        f"{type(dc).__name__}.{key} expects a float, got "
+                        f"{value!r} ({type(value).__name__})")
+            elif f.type == "int":
+                if isinstance(value, str):
+                    try:
+                        value = int(value)
+                    except ValueError:
+                        pass
+                if isinstance(value, bool) or not isinstance(value, int):
+                    raise ValueError(
+                        f"{type(dc).__name__}.{key} expects an int, got "
+                        f"{value!r} ({type(value).__name__})")
+            elif f.type == "bool" and not isinstance(value, bool):
+                raise ValueError(
+                    f"{type(dc).__name__}.{key} expects a bool, got "
+                    f"{value!r} ({type(value).__name__}) — yml spells "
+                    "booleans true/false")
+            elif f.type == "str" and not isinstance(value, str):
+                raise ValueError(
+                    f"{type(dc).__name__}.{key} expects a string, got "
+                    f"{value!r} ({type(value).__name__})")
             updates[key] = value
     return dataclasses.replace(dc, **updates)
 

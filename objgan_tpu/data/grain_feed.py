@@ -3,10 +3,13 @@ embedding lookup, and box/mask rasterization move into a host-side
 tf.data/Grain feed").
 
 Wraps the same per-record transform as :class:`data.pipeline.CocoFeed` in a
-``grain.python.DataLoader``: deterministic global shuffle, multi-worker
-parallel rasterization/tokenization (the C++ scanline rasterizer runs in the
-workers), and batch assembly off the main thread — the TPU step never waits
-on the host. Output pytree is identical to ``CocoFeed``/``synthetic_batch``.
+grain dataset: deterministic global shuffle, THREAD-pool transform +
+prefetch (``ReadOptions(num_threads=...)`` — grain's multiprocess prefetch
+is not used here, so the pure-Python share of the transform is
+GIL-serialized; PIL decode and the C++ scanline rasterizer release the GIL,
+and the uint8 wire cache makes the steady state cheap — BASELINE.md r3
+feed tables), and batch assembly off the main thread. Output pytree is
+identical to ``CocoFeed``/``synthetic_batch``.
 """
 
 from __future__ import annotations
@@ -21,7 +24,7 @@ from objgan_tpu.data.tokenizer import Vocab
 
 
 class _RecordTransform:
-    """Picklable per-record map (runs in grain worker processes)."""
+    """Picklable per-record map (runs in grain's read-thread pool)."""
 
     def __init__(self, cfg: Config, vocab: Vocab, with_images: bool,
                  augment: bool = True, image_root=None, wire: bool = False,
@@ -107,7 +110,12 @@ def grain_feed(
         ds = ds.repeat(None)
     else:
         ds = ds.repeat(num_epochs)
-    ds = ds.batch(cfg.TRAIN.BATCH_SIZE, batch_fn=_collate)
+    # drop_remainder: a short trailing batch on a bounded (num_epochs) run
+    # would break the static-shape contract downstream — a jitted consumer
+    # retraces (minutes per remote TPU compile) or the mesh-divisibility
+    # check fails mid-run
+    ds = ds.batch(cfg.TRAIN.BATCH_SIZE, drop_remainder=True,
+                  batch_fn=_collate)
     it = ds.to_iter_dataset(
         gp.ReadOptions(num_threads=max(1, worker_count or cfg.WORKERS),
                        prefetch_buffer_size=4)

@@ -171,24 +171,33 @@ def compute_fid_is(
     fake_batches: Iterable[np.ndarray],
     extractor: Callable,
     real_stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    fake_activations: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> Tuple[float, Tuple[float, float]]:
     """Stream batches through the extractor; returns (fid, (is_mean, is_std)).
 
     ``real_stats=(mu, cov)`` skips the real-side pass entirely — the real
     statistics are identical across every checkpoint evaluated on the same
     manifest, so eval loops compute them once (gan/eval.py caches them on
-    disk next to the manifest)."""
+    disk next to the manifest). ``fake_activations=(acts, probs)`` skips
+    the fake-side pass the same way: a generation loop that extracts
+    features as it goes never has to keep the pixel batches resident
+    (~1.6 GB at the n=2048/256px protocol)."""
     from objgan_tpu.utils.eval_metrics import activation_stats, \
         frechet_from_stats
 
     if real_stats is None:
         real_stats = real_activation_stats(real_batches, extractor)
-    fake_acts, fake_probs = [], []
-    for b in fake_batches:
-        acts, probs = extractor(jnp.asarray(b))
-        fake_acts.append(np.asarray(acts))
-        fake_probs.append(np.asarray(probs))
-    fa = np.concatenate(fake_acts)
+    if fake_activations is not None:
+        fa, fprobs = (np.asarray(fake_activations[0]),
+                      np.asarray(fake_activations[1]))
+    else:
+        fake_acts, fake_probs = [], []
+        for b in fake_batches:
+            acts, probs = extractor(jnp.asarray(b))
+            fake_acts.append(np.asarray(acts))
+            fake_probs.append(np.asarray(probs))
+        fa = np.concatenate(fake_acts)
+        fprobs = np.concatenate(fake_probs)
     if float(fa.std()) < 1e-6:
         print(
             "WARNING: degenerate (near-constant) fake activations — the "
@@ -197,5 +206,5 @@ def compute_fid_is(
         )
     mu_f, cov_f = activation_stats(fa)
     fid = frechet_from_stats(real_stats[0], real_stats[1], mu_f, cov_f)
-    is_score = inception_score(np.concatenate(fake_probs))
+    is_score = inception_score(fprobs)
     return fid, is_score

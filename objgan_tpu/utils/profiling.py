@@ -34,9 +34,16 @@ class StepTimer:
 
     @contextlib.contextmanager
     def step(self, result_holder: list | None = None):
+        """Time a step. Put the step's device output(s) into
+        ``result_holder`` inside the block and they are fenced with
+        ``block_until_ready`` before the clock stops; without a holder the
+        recorded time is only the async dispatch (JAX returns before the
+        device finishes), which is exactly the misleading number CLAUDE.md
+        warns about."""
         t0 = time.perf_counter()
         yield
-        # caller is responsible for fencing; convenience fence below
+        if result_holder:
+            jax.block_until_ready(result_holder)
         self.times.append(time.perf_counter() - t0)
 
     def timed(self, fn, *args, warmup: int = 2, iters: int = 10):

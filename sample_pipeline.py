@@ -54,6 +54,14 @@ def main():
         vocab = Vocab.build(c for r in records for c in r["captions"])
     else:
         vocab = Vocab.build(captions)
+        # a caption-local vocab assigns dense ids that CANNOT match any
+        # trained checkpoint's training vocab — embeddings index the wrong
+        # rows and the pipeline emits garbage with no other symptom
+        print("WARNING: no --manifest / --captions_pickle given — built a "
+              "vocab from the sample captions themselves. If trained "
+              "checkpoints are restored below, their token ids will NOT "
+              "match this vocab; pass the training manifest (or the "
+              "reference captions.pickle) for correct embeddings.")
     if len(vocab) > cfg.TEXT.VOCAB_SIZE:
         raise SystemExit(
             f"vocabulary has {len(vocab)} words but cfg.TEXT.VOCAB_SIZE is "

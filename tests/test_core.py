@@ -385,3 +385,24 @@ def test_vocab_table_explicit_glove_path_strict(tmp_path):
         vocab_table(["dog"], 4, str(g))
     out = vocab_table(["<end>", "dog"], 3, str(g))  # matching dim works
     np.testing.assert_allclose(out[1], [0.1, 0.2, 0.3])
+
+
+def test_config_yaml_type_coercion_and_validation():
+    """PyYAML 1.1 parses '2e-4' as a STRING; typed fields must coerce
+    parseable strings and reject garbage (the lineage cfg_from_file's
+    type check)."""
+    import pytest
+
+    from objgan_tpu.core.config import cfg_from_dict
+
+    c = cfg_from_dict({"TRAIN": {"DISCRIMINATOR_LR": "2e-4",
+                                 "BATCH_SIZE": "16"}})
+    assert isinstance(c.TRAIN.DISCRIMINATOR_LR, float)
+    assert c.TRAIN.DISCRIMINATOR_LR == pytest.approx(2e-4)
+    assert c.TRAIN.BATCH_SIZE == 16
+    with pytest.raises(ValueError, match="expects an int"):
+        cfg_from_dict({"TRAIN": {"BATCH_SIZE": "sixteen"}})
+    with pytest.raises(ValueError, match="expects a bool"):
+        cfg_from_dict({"B_VALIDATION": 1})
+    with pytest.raises(ValueError, match="expects a float"):
+        cfg_from_dict({"TRAIN": {"GENERATOR_LR": True}})
