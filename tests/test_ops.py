@@ -335,6 +335,34 @@ class TestRoiAlign:
         finally:
             ra.INTERPRET = False
 
+    def test_pallas_bf16_grad_accumulates_fp32(self, rng):
+        """Heavily-overlapping bf16 boxes: the backward sums per-object
+        contributions into the same feature block, and the kernel must
+        accumulate in fp32 (a bf16 running sum rounds at every add). With
+        fp32 accumulation the Pallas grad matches the XLA backward to
+        bf16 cotangent resolution even at MAX_OBJECTS overlaps."""
+        ra.INTERPRET = True
+        try:
+            b, h, w, c, o = 1, 8, 8, 8, 10
+            feats = jax.random.normal(rng, (b, h, w, c)).astype(jnp.bfloat16)
+            # all boxes cover the same region -> o-way accumulation
+            boxes = jnp.tile(jnp.array([[[0.1, 0.1, 0.8, 0.8]]]), (1, o, 1))
+
+            def loss_p(f):
+                return jnp.sum(
+                    ra.roi_align_pallas(f, boxes, 4, 2).astype(jnp.float32))
+
+            def loss_x(f):
+                return jnp.sum(
+                    ra.roi_align_xla(f, boxes, 4, 2).astype(jnp.float32))
+
+            gp = np.asarray(jax.grad(loss_p)(feats), np.float32)
+            gx = np.asarray(jax.grad(loss_x)(feats), np.float32)
+            # one final bf16 rounding each — not o accumulated roundings
+            np.testing.assert_allclose(gp, gx, rtol=0.01, atol=0.05)
+        finally:
+            ra.INTERPRET = False
+
     def test_zero_box_gives_top_left_sample(self, rng):
         feats = jnp.ones((1, 8, 8, 2))
         boxes = jnp.zeros((1, 1, 4))
