@@ -12,12 +12,17 @@ import glob
 import os
 import signal
 import subprocess
+import sys
 import time
 
+# argv: [script [comma-separated FID segment steps]] — defaults drive the
+# original r3 recipe; the r3b restart passes its own script + 12 segments.
 PIDFILE = "/tmp/shk3.pid"
-SCRIPT = "/root/repo/docs/shakedown/run_phases_r3.sh"
+SCRIPT = (sys.argv[1] if len(sys.argv) > 1
+          else "/root/repo/docs/shakedown/run_phases_r3.sh")
 LOG = "/root/shk3/watchdog.log"
-SEGS = [600 + 600 * i for i in range(13)]
+SEGS = ([int(s) for s in sys.argv[2].split(",")] if len(sys.argv) > 2
+        else [600 + 600 * i for i in range(13)])
 CHECK_S = 120
 STALL_CHECKS = 7  # 14 min of frozen CPU => hang
 
