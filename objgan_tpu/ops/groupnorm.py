@@ -120,12 +120,21 @@ def _kernel(x_hbm, scale_ref, bias_ref, out_hbm, x_vmem, stage, sem_in,
     ci = lax.broadcasted_iota(jnp.int32, (groups, c2), 1)
     member = ((ci % true_c) // cg == gi).astype(jnp.float32)  # (G, C2)
     cnt = jnp.float32(n2 * fold * cg)
-    gmean = jnp.dot(s, member.T, preferred_element_type=jnp.float32) / cnt
-    gmean2 = jnp.dot(ss, member.T, preferred_element_type=jnp.float32) / cnt
+    # HIGHEST precision: on hardware Mosaic runs fp32 dot operands through
+    # bf16 MXU passes by default (~4e-3 relative error — caught on the ROI
+    # kernel by tools/roi_hw_check.py). These dots carry real fp32 data
+    # (sums / rsqrt stats) and are (1,C)-tiny, so exactness is free.
+    _hi = lax.Precision.HIGHEST
+    gmean = jnp.dot(s, member.T, preferred_element_type=jnp.float32,
+                    precision=_hi) / cnt
+    gmean2 = jnp.dot(ss, member.T, preferred_element_type=jnp.float32,
+                     precision=_hi) / cnt
     gvar = jnp.maximum(gmean2 - gmean * gmean, 0.0)
     ginv = lax.rsqrt(gvar + eps)  # (1, G)
-    inv_c = jnp.dot(ginv, member, preferred_element_type=jnp.float32)
-    mean_c = jnp.dot(gmean, member, preferred_element_type=jnp.float32)
+    inv_c = jnp.dot(ginv, member, preferred_element_type=jnp.float32,
+                    precision=_hi)
+    mean_c = jnp.dot(gmean, member, preferred_element_type=jnp.float32,
+                     precision=_hi)
     a_c = inv_c * scale_ref[...].astype(jnp.float32)         # (1, C2)
     b_c = bias_ref[...].astype(jnp.float32) - mean_c * a_c   # (1, C2)
 
@@ -168,8 +177,13 @@ def _kernel(x_hbm, scale_ref, bias_ref, out_hbm, x_vmem, stage, sem_in,
             # bf16 reference — logistic and multiply on TPU are f32
             # internally, so round(f32 op) is the bf16 op bit-for-bit.
             yf = y.astype(jnp.float32)
-            a = jnp.dot(yf, sel_a, preferred_element_type=jnp.float32)
-            g = jnp.dot(yf, sel_g, preferred_element_type=jnp.float32)
+            # HIGHEST: exact for bf16 stage dtype either way (0/1 selection,
+            # one term per output), but fp32 stage data would be truncated
+            # to bf16 passes at default precision (roi_hw_check finding).
+            a = jnp.dot(yf, sel_a, preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)
+            g = jnp.dot(yf, sel_g, preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)
             sig = jax.nn.sigmoid(g).astype(stage.dtype).astype(jnp.float32)
             y = (a * sig).astype(stage.dtype)
         stage[slot] = y

@@ -114,11 +114,17 @@ def _fwd_kernel(box_ref, f_ref, out_ref, *, out_size, sampling_ratio, h, w, c,
     a_y = _pool_matrix(out_size, h, y0, bh, sampling_ratio)  # (R, H)
     a_x = _pool_matrix(out_size, w, x0, bw, sampling_ratio)  # (R, W)
     f = f_ref[0].astype(jnp.float32)  # (H, W, C)
+    # HIGHEST precision: on real-TPU Mosaic the default runs fp32 operands
+    # through bf16 MXU passes — interpret mode hides it, hardware showed a
+    # 4e-3 fwd / 0.18 grad divergence vs roi_align_xla's HIGHEST einsums
+    # (tools/roi_hw_check.py, round 3b). bf16 operands are exact either way.
     t = jax.lax.dot_general(  # (R, W, C): contract H
-        a_y, f, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        a_y, f, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     out = jax.lax.dot_general(  # (R, R, C): contract W of t with a_x
-        a_x, t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        a_x, t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # -> (R_x, R_y, C)
     out_ref[0, 0] = jnp.swapaxes(out, 0, 1).astype(out_ref.dtype)
 
@@ -140,11 +146,14 @@ def _bwd_kernel(box_ref, g_ref, df_ref, *, out_size, sampling_ratio, h, w, c,
     a_x = _pool_matrix(out_size, w, x0, bw, sampling_ratio)  # (R, W)
     g = g_ref[0, 0].astype(jnp.float32)  # (R, R, C)
     # df[y, x, c] = sum_{i,j} a_y[i, y] a_x[j, x] g[i, j, c]
+    # HIGHEST for the same hardware-only reason as the forward kernel.
     t = jax.lax.dot_general(  # (H, R_j, C): contract R_i
-        a_y, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        a_y, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     d = jax.lax.dot_general(  # (W, H, C): contract R_j of t
-        a_x, t, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        a_x, t, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     df_ref[0] += jnp.swapaxes(d, 0, 1).astype(df_ref.dtype)
 

@@ -92,17 +92,25 @@ def _time_loop(fn: Callable, n_loop: int, trials: int = 3,
     (verified empirically: identical flops/bytes at n_loop 2/8/64), so the
     reported totals already ARE the per-iteration cost — no division."""
 
+    # Hoist everything the stage lambda closes over (params, activations,
+    # the batch) into ARGUMENTS: jit would otherwise embed those concrete
+    # arrays as HLO literal constants, and the serialized module — hundreds
+    # of MB for param-heavy stages — exceeds the remote-compile relay's
+    # request-body limit (HTTP 413, first observed on the round-3b run).
+    conv_fn, consts = jax.closure_convert(
+        lambda i, acc: fn(i, acc), jnp.int32(0), jnp.float32(0.0))
+
     @jax.jit
-    def loop(seed):
+    def loop(seed, consts):
         def body(i, acc):
-            return acc + fn(i, acc).astype(jnp.float32)
+            return acc + conv_fn(i, acc, *consts).astype(jnp.float32)
 
         return jax.lax.fori_loop(0, n_loop, body, seed)
 
     overhead = _loop_overhead_s(n_loop)
     # AOT lower+compile so the executable object is in hand for
     # cost_analysis; executing through it also reuses exactly this program
-    compiled = loop.lower(jnp.float32(0.0)).compile()
+    compiled = loop.lower(jnp.float32(0.0), consts).compile()
     cost = {}
     if analyze:
         try:
@@ -118,11 +126,11 @@ def _time_loop(fn: Callable, n_loop: int, trials: int = 3,
             }
         except Exception:  # pragma: no cover - backend-dependent surface
             cost = {}
-    jax.block_until_ready(compiled(jnp.float32(0.0)))  # warm
+    jax.block_until_ready(compiled(jnp.float32(0.0), consts))  # warm
     best = float("inf")
     for t in range(trials):
         t0 = time.perf_counter()
-        jax.block_until_ready(compiled(jnp.float32(t + 1) * 1e-6))
+        jax.block_until_ready(compiled(jnp.float32(t + 1) * 1e-6, consts))
         best = min(best, time.perf_counter() - t0)
     ms = max(0.0, best - overhead) / n_loop * 1e3
     return (ms, cost) if analyze else ms
