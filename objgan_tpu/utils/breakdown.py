@@ -97,13 +97,20 @@ def _time_loop(fn: Callable, n_loop: int, trials: int = 3,
     # arrays as HLO literal constants, and the serialized module — hundreds
     # of MB for param-heavy stages — exceeds the remote-compile relay's
     # request-body limit (HTTP 413, first observed on the round-3b run).
-    conv_fn, consts = jax.closure_convert(
-        lambda i, acc: fn(i, acc), jnp.int32(0), jnp.float32(0.0))
+    # NOT jax.closure_convert: it only hoists consts that might carry AD
+    # perturbations, and a concrete (non-tracer) array never does
+    # (`_maybe_perturbed` is False), so it hoists nothing here — the
+    # whole-network train stages still 413'd. make_jaxpr surfaces EVERY
+    # captured array as a jaxpr const regardless of dtype/perturbability.
+    closed = jax.make_jaxpr(lambda i, acc: fn(i, acc))(
+        jnp.int32(0), jnp.float32(0.0))
+    consts = closed.consts
 
     @jax.jit
     def loop(seed, consts):
         def body(i, acc):
-            return acc + conv_fn(i, acc, *consts).astype(jnp.float32)
+            (y,) = jax.core.eval_jaxpr(closed.jaxpr, consts, i, acc)
+            return acc + y.astype(jnp.float32)
 
         return jax.lax.fori_loop(0, n_loop, body, seed)
 

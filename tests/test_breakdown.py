@@ -81,3 +81,29 @@ def test_dep_perturbation_is_numerically_invisible():
     assert jnp.array_equal(_dep(x, acc), x)
     xf = jnp.full((3,), 0.5, jnp.float32)
     assert jnp.array_equal(_dep(xf, jnp.float32(1e6)), xf)
+
+
+def test_time_loop_hoists_all_closure_consts_out_of_the_hlo():
+    """Closed-over arrays — float AND int/bool — must become program
+    ARGUMENTS, never HLO literals: embedded literals made whole-network
+    train-stage compile requests exceed the TPU relay's request-body limit
+    (HTTP 413). jax.closure_convert specifically does NOT do this for
+    concrete arrays (nothing concrete is 'maybe perturbed'), which is how
+    the first 413 shipped; guard the make_jaxpr-based hoisting."""
+    from objgan_tpu.utils import breakdown as bd
+
+    big_f = jnp.arange(4096, dtype=jnp.float32).reshape(64, 64) * 1.5
+    big_i = jnp.arange(4096, dtype=jnp.int32).reshape(64, 64)
+    big_b = (big_i % 3 == 0)
+
+    def fn(i, acc):
+        return (jnp.sum(big_f) + jnp.sum(big_i.astype(jnp.float32))
+                + jnp.sum(big_b.astype(jnp.float32)) + acc)
+
+    closed = jax.make_jaxpr(lambda i, acc: fn(i, acc))(
+        jnp.int32(0), jnp.float32(0.0))
+    # all three captured arrays surface as consts (would-be literals)
+    assert len(closed.consts) == 3
+    # and the measured loop still computes the right thing with them as args
+    ms = bd._time_loop(fn, n_loop=2)
+    assert ms >= 0.0
