@@ -1,0 +1,56 @@
+"""Render the shakedown quality curve as a markdown table from eval logs.
+
+Parses ``fid_<step>.log`` files (the ``gan/eval.py`` output captured by
+``run_phases_r3b.sh``) and prints a BASELINE.md-ready table sorted by step,
+so the curve section can be regenerated with one command even by a session
+that did not run the evals:
+
+    python docs/shakedown/curve_table.py docs/shakedown/r3b_evals
+"""
+import glob
+import os
+import re
+import sys
+
+
+def parse_log(path: str):
+    step = int(re.search(r"fid_(\d+)\.log$", path).group(1))
+    row = {"step": step}
+    with open(path, errors="replace") as f:
+        for line in f:
+            m = re.match(r"^FID: ([\d.]+)", line)
+            if m:
+                row["fid"] = float(m.group(1))
+            m = re.match(r"^IS: ([\d.]+) \+/- ([\d.]+)", line)
+            if m:
+                row["is_mean"], row["is_std"] = (float(m.group(1)),
+                                                 float(m.group(2)))
+            m = re.match(r"^R-precision: ([\d.]+)", line)
+            if m:
+                row["rprec"] = float(m.group(1))
+            m = re.match(r"^eval over (\d+) samples", line)
+            if m:
+                row["n"] = int(m.group(1))
+    return row if "fid" in row else None
+
+
+def main(d: str) -> int:
+    rows = sorted(filter(None, (parse_log(p) for p in
+                                glob.glob(os.path.join(d, "fid_*.log")))),
+                  key=lambda r: r["step"])
+    if not rows:
+        print(f"no complete fid_*.log files under {d}", file=sys.stderr)
+        return 1
+    n = rows[0].get("n", "?")
+    print(f"| Stage-C step | lite-FID (n={n}) | lite-IS | R-precision |")
+    print("|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['step']} | {r['fid']:.3f} "
+              f"| {r.get('is_mean', float('nan')):.3f} "
+              f"| {r.get('rprec', float('nan')):.3f} |")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1
+                  else "docs/shakedown/r3b_evals"))
