@@ -60,6 +60,102 @@ def _bench(fn, args_for, warmup=2, iters=10):
     return fenced[len(fenced) // 2], pipelined
 
 
+def _exclusive_chip(pidfiles=None):
+    """Single-chip timing integrity: pause any live shakedown for the bench.
+
+    The quality-curve recipe (docs/shakedown/run_phases_r3b.sh under
+    watchdog_r3.py) can hold the one TPU chip for hours; a bench that runs
+    concurrently measures relay queueing, not the step. If the recipe's
+    pid files point at live processes, SIGSTOP the whole tree — watchdog
+    first, so it can neither stall-kill the frozen trainer nor relaunch —
+    and SIGCONT it in reverse on exit: pause, never kill. A blocking flock
+    additionally serializes concurrent bench processes (the driver's
+    end-of-round bench vs docs/shakedown/post_r3b.sh) so two benches never
+    interleave on the chip.
+    """
+    import atexit
+    import fcntl
+    import signal
+    import subprocess
+
+    if not hasattr(_exclusive_chip, "_lock"):  # idempotent within a process
+        lock = open("/tmp/objgan_bench.lock", "w")
+        try:
+            fcntl.flock(lock, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            print("bench: waiting for /tmp/objgan_bench.lock (another "
+                  "bench is mid-measurement)...", file=sys.stderr,
+                  flush=True)
+            fcntl.flock(lock, fcntl.LOCK_EX)
+        _exclusive_chip._lock = lock  # held (and auto-dropped) until exit
+
+    if pidfiles is None:
+        pidfiles = os.environ.get(
+            "OBJGAN_BENCH_PAUSE_PIDFILES", "/tmp/wd.pid:/tmp/shk3.pid"
+        ).split(":")
+    roots = []
+    for pf in pidfiles:
+        try:
+            pid = int(open(pf).read().strip())
+            os.kill(pid, 0)
+        except (OSError, ValueError):
+            continue
+        roots.append(pid)
+    if not roots:
+        return []
+
+    me = os.getpid()
+
+    def descendants(seeds):
+        out = subprocess.run(["ps", "-eo", "pid,ppid"],
+                             capture_output=True, text=True).stdout
+        kids = {}
+        for line in out.splitlines()[1:]:
+            parts = line.split()
+            if len(parts) == 2 and parts[0].isdigit():
+                kids.setdefault(int(parts[1]), []).append(int(parts[0]))
+        ordered, stack = [], list(seeds)
+        while stack:
+            pid = stack.pop(0)  # BFS: parents before their children
+            if pid == me or pid in ordered:
+                continue
+            ordered.append(pid)
+            stack.extend(kids.get(pid, []))
+        return ordered
+
+    stopped = []
+
+    def stop(pids):
+        for pid in pids:
+            if pid in stopped:
+                continue
+            try:
+                os.kill(pid, signal.SIGSTOP)
+                stopped.append(pid)
+            except OSError:
+                pass
+
+    # two passes close the snapshot/STOP race: a child forked between the
+    # first ps and its parent's SIGSTOP is caught by the rescan (its
+    # parent is already frozen, so no further forks can follow)
+    stop(descendants(roots))
+    stop(descendants(roots))
+    print(f"bench: paused shakedown pids {stopped} for chip exclusivity "
+          f"(SIGCONT on exit)", file=sys.stderr, flush=True)
+
+    def _resume():
+        for pid in reversed(stopped):  # children first, watchdog last
+            try:
+                os.kill(pid, signal.SIGCONT)
+            except OSError:
+                pass
+
+    atexit.register(_resume)
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+        signal.signal(sig, lambda s, f: sys.exit(128 + s))
+    return stopped
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -118,6 +214,8 @@ def main():
             args.feed = default_manifest
     if args.no_feed:  # wins over both the default and an explicit --feed
         args.feed = None
+
+    _exclusive_chip()
 
     from objgan_tpu.core.config import Config, tiny_test_config
     from objgan_tpu.data.synthetic import synthetic_batch

@@ -1,0 +1,70 @@
+"""bench._exclusive_chip: pause-never-kill chip exclusivity.
+
+The driver's end-of-round `python bench.py` may fire while the shakedown
+recipe holds the single TPU chip; bench pauses the recipe's process tree
+(SIGSTOP, parents first) for the measurement and resumes it (SIGCONT,
+children first) at exit. These tests drive the mechanism against a fake
+process tree via the explicit ``pidfiles`` argument — the live shakedown's
+/tmp/wd.pid is never read.
+"""
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _state(pid: int) -> str:
+    # field 3 of /proc/<pid>/stat: R running, S sleeping, T stopped
+    return open(f"/proc/{pid}/stat").read().rsplit(")", 1)[1].split()[0]
+
+
+def test_pauses_tree_and_resumes_on_exit(tmp_path):
+    parent = subprocess.Popen(["bash", "-c", "sleep 300 & wait"])
+    try:
+        time.sleep(0.4)
+        pf = tmp_path / "wd.pid"
+        pf.write_text(str(parent.pid))
+        # _exclusive_chip runs in a throwaway python so its atexit
+        # (SIGCONT) fires when that process exits
+        code = (
+            f"import sys; sys.path.insert(0, {REPO!r})\n"
+            f"import bench\n"
+            f"stopped = bench._exclusive_chip([{str(pf)!r}])\n"
+            f"assert {parent.pid} in stopped, stopped\n"
+            f"assert len(stopped) >= 2, stopped  # bash parent + sleep child\n"
+            f"st = open('/proc/{parent.pid}/stat').read()"
+            f".rsplit(')', 1)[1].split()[0]\n"
+            f"assert st == 'T', st\n"
+            f"print('PAUSED_OK')\n"
+        )
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=120)
+        assert "PAUSED_OK" in r.stdout, (r.stdout, r.stderr)
+        deadline = time.time() + 10
+        while time.time() < deadline and _state(parent.pid) == "T":
+            time.sleep(0.1)
+        assert _state(parent.pid) != "T", "tree not resumed after exit"
+    finally:
+        parent.terminate()
+        parent.wait()
+
+
+def test_dead_or_missing_pidfiles_are_noops(tmp_path):
+    # subprocess so the bench flock is released immediately (an in-process
+    # call would hold /tmp/objgan_bench.lock until pytest exits, blocking
+    # any real bench that fires meanwhile)
+    pf = tmp_path / "gone.pid"
+    pf.write_text("999999999")  # beyond pid_max: never a live process
+    code = (
+        f"import sys; sys.path.insert(0, {REPO!r})\n"
+        f"import bench\n"
+        f"assert bench._exclusive_chip([{str(pf)!r}]) == []\n"
+        f"assert bench._exclusive_chip("
+        f"[{str(tmp_path / 'absent.pid')!r}]) == []\n"
+        f"print('NOOP_OK')\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, timeout=120)
+    assert "NOOP_OK" in r.stdout, (r.stdout, r.stderr)
