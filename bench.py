@@ -93,12 +93,23 @@ def _exclusive_chip(pidfiles=None):
         pidfiles = os.environ.get(
             "OBJGAN_BENCH_PAUSE_PIDFILES", "/tmp/wd.pid:/tmp/shk3.pid"
         ).split(":")
+    # Markers a genuine shakedown root's cmdline must contain: stale
+    # pidfiles survive watchdog exits, and PID recycling could otherwise
+    # make us SIGSTOP an unrelated process tree.
+    markers = ("watchdog", "run_phases", "shakedown")
     roots = []
     for pf in pidfiles:
         try:
             pid = int(open(pf).read().strip())
             os.kill(pid, 0)
+            cmdline = open(f"/proc/{pid}/cmdline", "rb").read() \
+                .replace(b"\0", b" ").decode(errors="replace")
         except (OSError, ValueError):
+            continue
+        if not any(m in cmdline for m in markers):
+            print(f"bench: ignoring stale pidfile {pf} (pid {pid} cmdline "
+                  f"matches no shakedown marker)", file=sys.stderr,
+                  flush=True)
             continue
         roots.append(pid)
     if not roots:
@@ -126,6 +137,7 @@ def _exclusive_chip(pidfiles=None):
     stopped = []
 
     def stop(pids):
+        n0 = len(stopped)
         for pid in pids:
             if pid in stopped:
                 continue
@@ -134,14 +146,7 @@ def _exclusive_chip(pidfiles=None):
                 stopped.append(pid)
             except OSError:
                 pass
-
-    # two passes close the snapshot/STOP race: a child forked between the
-    # first ps and its parent's SIGSTOP is caught by the rescan (its
-    # parent is already frozen, so no further forks can follow)
-    stop(descendants(roots))
-    stop(descendants(roots))
-    print(f"bench: paused shakedown pids {stopped} for chip exclusivity "
-          f"(SIGCONT on exit)", file=sys.stderr, flush=True)
+        return len(stopped) - n0
 
     def _resume():
         for pid in reversed(stopped):  # children first, watchdog last
@@ -150,9 +155,47 @@ def _exclusive_chip(pidfiles=None):
             except OSError:
                 pass
 
+    # Resume paths are armed BEFORE the first SIGSTOP so a signal landing
+    # mid-freeze still thaws whatever was already stopped.
     atexit.register(_resume)
     for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
         signal.signal(sig, lambda s, f: sys.exit(128 + s))
+
+    # Freeze to a fixed point: rescan until a pass stops no new pid.  A
+    # fixed two-pass scheme leaves a race (a grandchild forked by a
+    # not-yet-stopped child after the second snapshot escapes); once a
+    # full rescan finds nothing new, every tree member is frozen and
+    # frozen parents cannot fork.
+    while stop(descendants(roots)):
+        pass
+    print(f"bench: paused shakedown pids {stopped} for chip exclusivity "
+          f"(SIGCONT on exit)", file=sys.stderr, flush=True)
+
+    # Deadman: atexit/signal handlers never run if this bench is
+    # SIGKILLed, OOM-killed, or hangs forever on a lost relay RPC — the
+    # frozen shakedown would then stay frozen permanently.  A detached
+    # helper SIGCONTs the stopped pids when the bench pid disappears, or
+    # unconditionally after a hard deadline (a hung bench measures
+    # nothing, so thawing the curve costs nothing).
+    deadline_s = float(os.environ.get("OBJGAN_BENCH_DEADMAN_S", "7200"))
+    poll_s = float(os.environ.get("OBJGAN_BENCH_DEADMAN_POLL_S", "10"))
+    helper = (
+        "import os,signal,sys,time\n"
+        "bench=int(sys.argv[1]); deadline=time.time()+float(sys.argv[2])\n"
+        "poll=float(sys.argv[3]); pids=[int(p) for p in sys.argv[4:]]\n"
+        "while time.time()<deadline:\n"
+        "    try: os.kill(bench,0)\n"
+        "    except OSError: break\n"
+        "    time.sleep(poll)\n"
+        "for p in reversed(pids):\n"
+        "    try: os.kill(p,signal.SIGCONT)\n"
+        "    except OSError: pass\n"
+    )
+    subprocess.Popen(
+        [sys.executable, "-c", helper, str(os.getpid()), str(deadline_s),
+         str(poll_s)] + [str(p) for p in stopped],
+        start_new_session=True, stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL)
     return stopped
 
 

@@ -14,8 +14,10 @@ import sys
 
 
 def parse_log(path: str):
-    step = int(re.search(r"fid_(\d+)\.log$", path).group(1))
-    row = {"step": step}
+    m = re.search(r"fid_(\d+)\.log$", path)
+    if m is None:  # e.g. fid_final.log — skip like an incomplete log
+        return None
+    row = {"step": int(m.group(1))}
     with open(path, errors="replace") as f:
         for line in f:
             m = re.match(r"^FID: ([\d.]+)", line)

@@ -20,8 +20,14 @@ def _state(pid: int) -> str:
     return open(f"/proc/{pid}/stat").read().rsplit(")", 1)[1].split()[0]
 
 
+# _exclusive_chip validates the pidfile target's cmdline against shakedown
+# markers (stale-pidfile / PID-recycling guard), so fake trees must carry
+# one; the ": watchdog" no-op keeps the marker in bash's cmdline.
+FAKE_TREE = ": watchdog test tree; sleep 300 & wait"
+
+
 def test_pauses_tree_and_resumes_on_exit(tmp_path):
-    parent = subprocess.Popen(["bash", "-c", "sleep 300 & wait"])
+    parent = subprocess.Popen(["bash", "-c", FAKE_TREE])
     try:
         time.sleep(0.4)
         pf = tmp_path / "wd.pid"
@@ -68,3 +74,57 @@ def test_dead_or_missing_pidfiles_are_noops(tmp_path):
     r = subprocess.run([sys.executable, "-c", code],
                        capture_output=True, text=True, timeout=120)
     assert "NOOP_OK" in r.stdout, (r.stdout, r.stderr)
+
+
+def test_stale_pidfile_with_recycled_pid_is_ignored(tmp_path):
+    # A live process whose cmdline matches no shakedown marker must not be
+    # frozen: that is exactly the PID-recycling hazard (ADVICE r3) where a
+    # stale /tmp/wd.pid now points at an innocent process.
+    bystander = subprocess.Popen(["sleep", "300"])
+    try:
+        pf = tmp_path / "wd.pid"
+        pf.write_text(str(bystander.pid))
+        code = (
+            f"import sys; sys.path.insert(0, {REPO!r})\n"
+            f"import bench\n"
+            f"assert bench._exclusive_chip([{str(pf)!r}]) == []\n"
+            f"print('IGNORED_OK')\n"
+        )
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=120)
+        assert "IGNORED_OK" in r.stdout, (r.stdout, r.stderr)
+        assert _state(bystander.pid) != "T", "bystander was frozen"
+    finally:
+        bystander.terminate()
+        bystander.wait()
+
+
+def test_deadman_resumes_tree_after_sigkill(tmp_path):
+    # SIGKILL skips atexit and signal handlers; only the detached deadman
+    # helper can thaw the tree (ADVICE r3 medium finding).
+    parent = subprocess.Popen(["bash", "-c", FAKE_TREE])
+    try:
+        time.sleep(0.4)
+        pf = tmp_path / "wd.pid"
+        pf.write_text(str(parent.pid))
+        code = (
+            f"import sys; sys.path.insert(0, {REPO!r})\n"
+            f"import bench, os, signal, time\n"
+            f"bench._exclusive_chip([{str(pf)!r}])\n"
+            f"print('PAUSED', flush=True)\n"
+            f"time.sleep(300)\n"  # hang until SIGKILLed by the test
+        )
+        env = dict(os.environ, OBJGAN_BENCH_DEADMAN_POLL_S="0.2")
+        proc = subprocess.Popen([sys.executable, "-c", code], env=env,
+                                stdout=subprocess.PIPE, text=True)
+        assert proc.stdout.readline().strip() == "PAUSED"
+        assert _state(parent.pid) == "T"
+        proc.kill()  # SIGKILL: no atexit, no handler
+        proc.wait()
+        deadline = time.time() + 15
+        while time.time() < deadline and _state(parent.pid) == "T":
+            time.sleep(0.1)
+        assert _state(parent.pid) != "T", "deadman did not thaw the tree"
+    finally:
+        parent.terminate()
+        parent.wait()
