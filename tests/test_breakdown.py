@@ -51,11 +51,12 @@ def test_sampling_breakdown_analyze_costs(tiny_cfg, trainer_state):
         assert out[f"{stage}_gflops"] >= 0
         assert out[f"{stage}_mbytes"] > 0
         if out[f"{stage}_ms"] > 0:
-            # gbps is rounded to 1 decimal — abs term covers that
-            # granularity for the near-zero CPU timings of tiny dims
+            # gbps is derived from the same rounded ms the table reports
+            # (breakdown._measure), so the only slack needed is gbps's own
+            # 0.1-decimal rounding — deterministic even for the near-zero
+            # CPU timings of tiny dims under suite load
             assert out[f"{stage}_gbps"] == pytest.approx(
-                out[f"{stage}_mbytes"] / out[f"{stage}_ms"],
-                rel=0.02, abs=0.06)
+                out[f"{stage}_mbytes"] / out[f"{stage}_ms"], abs=0.051)
     # the sum row must aggregate ONLY timing keys, not costs
     parts = sum(v for k, v in out.items()
                 if k.endswith("_ms") and k != "stage_sum_ms")
