@@ -133,8 +133,11 @@ def main():
     # activation rows stay resident — at the n=2048/256px protocol the
     # pixel batches would otherwise hold ~1.6 GB per side until the end.
     fake_acts, fake_probs, real_acts, sents, globals_ = [], [], [], [], []
+    real_labels = []  # per-image primary-object labels (lite-IS probe)
     n_fake = 0
     import itertools
+
+    from objgan_tpu.utils.fid_runner import primary_labels
 
     # with --real_stats all the real side comes from the cached/streamed
     # full-manifest statistics; paired mode extracts real features in-loop
@@ -152,6 +155,7 @@ def main():
         if paired_reals:
             ra, _ = extractor(batch["images"][-1])
             real_acts.append(np.asarray(ra))
+            real_labels.append(primary_labels(batch))
         _, sent = text_apply(state.text_params, batch["captions"],
                              batch["cap_lens"])
         _, gfeat = img_apply(state.img_params, out["images"][-1])
@@ -160,10 +164,17 @@ def main():
 
     n_real_unique = None
     real_stats = None
+    probe = None  # lite-IS class head (fit on REAL images; see below)
     if paired_reals:
         from objgan_tpu.utils.eval_metrics import activation_stats
 
         real_stats = activation_stats(np.concatenate(real_acts))
+        if not args.strict:
+            from objgan_tpu.utils.eval_metrics import fit_class_probe
+
+            probe = fit_class_probe(np.concatenate(real_acts),
+                                    np.concatenate(real_labels),
+                                    cfg.OBJ.NUM_CLASSES)
     if args.real_stats == "all" and args.manifest:
         # one augmentation-free epoch over the FULL manifest: every unique
         # image exactly once (flips off, no train/val filtering) — the
@@ -179,8 +190,8 @@ def main():
         from objgan_tpu.data.pipeline import CocoFeed, load_records_json
         from objgan_tpu.data.tokenizer import Vocab as _Vocab
         from objgan_tpu.utils.fid_runner import (
-            real_activation_stats, real_stats_cache_path, save_stats_atomic,
-            unique_epoch_images,
+            real_stats_and_probe, real_stats_cache_path, save_npz_atomic,
+            unique_epoch_batches,
         )
 
         all_recs = load_records_json(args.manifest)
@@ -188,11 +199,20 @@ def main():
         cache_path = real_stats_cache_path(
             cfg, args.manifest, n_real_unique, mode, args.inception_pth,
             records=all_recs, image_root=cfg.DATA_DIR)
+        # the lite-IS probe shares the stats cache's invalidation key:
+        # both are pure functions of (feature space, manifest data)
+        probe_path = real_stats_cache_path(
+            cfg, args.manifest, n_real_unique, mode, args.inception_pth,
+            records=all_recs, image_root=cfg.DATA_DIR, kind="lite_probe")
         if os.path.exists(cache_path):
             z = np.load(cache_path)
             real_stats = (z["mu"], z["cov"])
             print(f"real-side stats: cached ({cache_path})")
-        else:
+        if not args.strict and os.path.exists(probe_path):
+            probe = dict(np.load(probe_path))
+            print(f"lite-IS probe: cached ({probe_path})")
+        need_probe = not args.strict and probe is None
+        if real_stats is None or need_probe:
             # reuse build_feed's vocab (same manifest) instead of
             # re-tokenizing every caption; masks are never read by the
             # stats pass, so skip per-object rasterization entirely
@@ -201,20 +221,43 @@ def main():
             full_feed = CocoFeed(cfg, all_recs, vocab_all,
                                  seed=cfg.RNG_SEED, augment=False,
                                  with_masks=False)
-            real_stats = real_activation_stats(
-                unique_epoch_images(full_feed, n_real_unique), extractor)
-            save_stats_atomic(cache_path, real_stats[0], real_stats[1])
+            stats, fitted = real_stats_and_probe(
+                unique_epoch_batches(full_feed, n_real_unique), extractor,
+                cfg.OBJ.NUM_CLASSES, need_stats=real_stats is None,
+                need_probe=need_probe)
+            if stats is not None:
+                real_stats = stats
+                save_npz_atomic(cache_path, mu=stats[0], cov=stats[1])
+            if fitted is not None:
+                probe = fitted
+                save_npz_atomic(probe_path, **fitted)
+
+    fake_probs_all = np.concatenate(fake_probs)
+    if probe is not None:
+        # lite mode: p(y|x) from the real-image class probe, not the old
+        # constant feature-softmax surrogate (VERDICT r3 weak #2)
+        from objgan_tpu.utils.eval_metrics import probe_probs
+
+        fake_probs_all = probe_probs(probe, np.concatenate(fake_acts))
+        print(f"lite-IS probe: {cfg.OBJ.NUM_CLASSES}-way head on real "
+              f"images — train acc {float(probe['train_acc']):.3f}, "
+              f"holdout acc {float(probe['holdout_acc']):.3f}")
 
     fid, (is_m, is_s) = compute_fid_is(
         [], [], extractor, real_stats=real_stats,
-        fake_activations=(np.concatenate(fake_acts),
-                          np.concatenate(fake_probs)))
+        fake_activations=(np.concatenate(fake_acts), fake_probs_all))
     rp = r_precision(np.concatenate(sents), np.concatenate(globals_))
     n = n_fake
     # self-describing labels: lite/untrained numbers must not be mistaken
     # for published-comparable metrics (VERDICT r1 weak #6)
-    is_tag = "" if args.strict else (
-        " [lite: feature-softmax surrogate — NOT comparable to published IS]")
+    if args.strict:
+        is_tag = ""
+    elif probe is not None:
+        is_tag = (" [lite-probe: class head on lite features — relative, "
+                  "NOT comparable to published IS]")
+    else:
+        is_tag = (" [lite: feature-softmax surrogate — NOT comparable to "
+                  "published IS]")
     rp_tag = "" if encoders_trained else (
         " [untrained encoders — meaningless until DAMSM is pretrained]")
     print(f"eval over {n} samples [{mode}]")

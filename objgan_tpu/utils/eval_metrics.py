@@ -79,6 +79,86 @@ def inception_score(
     return float(np.mean(scores)), float(np.std(scores))
 
 
+def fit_class_probe(
+    feats: np.ndarray,   # (N, D) extractor features of REAL images
+    labels: np.ndarray,  # (N,) int image-level class ids in [0, n_classes)
+    n_classes: int,
+    l2: float = 1e-4,
+    iters: int = 300,
+    lr: float = 0.5,
+    holdout_frac: float = 0.1,
+) -> dict:
+    """Fit an ``n_classes``-way softmax readout on real-image features.
+
+    This is what makes lite-IS informative (VERDICT r3 weak #2 / next #4):
+    the lite extractor has no classifier, and the old feature-softmax
+    surrogate printed a constant ~1.0 across every checkpoint. A linear
+    probe trained on the REAL images' primary-object labels yields a real
+    p(y|x), so ``inception_score`` regains its meaning — sharper
+    class-conditional fakes and better class coverage raise it.
+
+    Full-batch multinomial logistic regression with feature
+    standardization, plain GD + momentum from zero init — deterministic
+    (no RNG), numpy-only. The trailing ``holdout_frac`` rows are held out
+    for the accuracy diagnostic (callers print it so a useless probe is
+    visible, not silent).
+
+    Returns {"w", "b", "mu", "sd", "train_acc", "holdout_acc"}.
+    """
+    f = np.asarray(feats, np.float64)
+    y = np.asarray(labels).astype(np.int64).ravel()
+    if f.shape[0] != y.shape[0]:
+        raise ValueError(f"feats/labels length mismatch: {f.shape[0]} vs "
+                         f"{y.shape[0]}")
+    if not (0 <= y.min() and y.max() < n_classes):
+        raise ValueError(f"labels outside [0, {n_classes}): "
+                         f"[{y.min()}, {y.max()}]")
+    n_hold = int(round(holdout_frac * f.shape[0]))
+    n_tr = f.shape[0] - n_hold
+    if n_tr < 2:
+        raise ValueError(f"too few samples to fit a probe: {f.shape[0]}")
+    mu = f[:n_tr].mean(0)
+    sd = np.clip(f[:n_tr].std(0), 1e-6, None)
+    z = (f - mu) / sd
+    ztr, ytr = z[:n_tr], y[:n_tr]
+    onehot = np.zeros((n_tr, n_classes))
+    onehot[np.arange(n_tr), ytr] = 1.0
+    w = np.zeros((z.shape[1], n_classes))
+    b = np.zeros((n_classes,))
+    vw = np.zeros_like(w)
+    vb = np.zeros_like(b)
+    for _ in range(iters):
+        logits = ztr @ w + b
+        logits -= logits.max(-1, keepdims=True)
+        p = np.exp(logits)
+        p /= p.sum(-1, keepdims=True)
+        g = (p - onehot) / n_tr
+        gw = ztr.T @ g + l2 * w
+        gb = g.sum(0)
+        vw = 0.9 * vw + gw
+        vb = 0.9 * vb + gb
+        w -= lr * vw
+        b -= lr * vb
+
+    def acc(zz, yy):
+        if len(yy) == 0:
+            return float("nan")
+        return float(((zz @ w + b).argmax(-1) == yy).mean())
+
+    return {"w": w, "b": b, "mu": mu, "sd": sd,
+            "train_acc": acc(ztr, ytr),
+            "holdout_acc": acc(z[n_tr:], y[n_tr:])}
+
+
+def probe_probs(probe: dict, feats: np.ndarray) -> np.ndarray:
+    """p(y|x) (N, C) from a fitted class probe over extractor features."""
+    z = (np.asarray(feats, np.float64) - probe["mu"]) / probe["sd"]
+    logits = z @ probe["w"] + probe["b"]
+    logits -= logits.max(-1, keepdims=True)
+    p = np.exp(logits)
+    return p / p.sum(-1, keepdims=True)
+
+
 def r_precision(
     sent_embs: np.ndarray,  # (N, D) caption embeddings
     image_feats: np.ndarray,  # (N, D) matching image global features

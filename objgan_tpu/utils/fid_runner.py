@@ -65,10 +65,25 @@ def make_lite_extractor(cfg, params=None, rng=None):
     return lambda images: extract(params, images), params
 
 
+def primary_labels(batch) -> np.ndarray:
+    """(B,) int32 image-level labels: the class of each image's
+    largest-area VALID object — the label the lite-IS probe predicts.
+    Images with zero valid objects get class 0 (background/STOP, which no
+    real object uses: data/pipeline.py validates labels into [1, 81))."""
+    labels = np.asarray(batch["labels"])
+    boxes = np.asarray(batch["boxes"], np.float32)
+    valid = np.asarray(batch["obj_valid"], np.float32)
+    area = boxes[..., 2] * boxes[..., 3] * valid
+    idx = area.argmax(axis=1)
+    lab = labels[np.arange(labels.shape[0]), idx].astype(np.int32)
+    return np.where(valid.sum(axis=1) > 0, lab, 0).astype(np.int32)
+
+
 def real_stats_cache_path(cfg, manifest: str, n_records: int, mode: str,
                           inception_pth: Optional[str] = None,
                           records=None,
-                          image_root: Optional[str] = None) -> str:
+                          image_root: Optional[str] = None,
+                          kind: str = "real_stats") -> str:
     """Disk-cache location for a manifest's real-side FID statistics.
 
     The (mu, cov) are identical for every checkpoint evaluated on one
@@ -112,25 +127,33 @@ def real_stats_cache_path(cfg, manifest: str, n_records: int, mode: str,
     if inception_pth:
         parts += [os.path.abspath(inception_pth), fingerprint(inception_pth)]
     key = hashlib.sha1("|".join(parts).encode()).hexdigest()[:16]
+    # kind="real_stats" keeps the historical filename; the lite-IS probe
+    # ("lite_probe") shares the exact same invalidation key — both are
+    # functions of (feature space, data) only.
     return os.path.join(os.path.dirname(os.path.abspath(manifest)),
-                        f".fid_real_stats_{key}.npz")
+                        f".fid_{kind}_{key}.npz")
 
 
-def save_stats_atomic(cache_path: str, mu, cov) -> None:
-    """Publish a stats cache file atomically: an interrupted or racing
-    eval must never leave a truncated .npz that crashes later loads."""
+def save_npz_atomic(cache_path: str, **arrays) -> None:
+    """Publish a cache file atomically: an interrupted or racing eval must
+    never leave a truncated .npz that crashes later loads."""
     import os
 
     tmp_path = cache_path + f".{os.getpid()}.tmp.npz"  # .npz suffix:
     # np.savez would otherwise append one and break the rename
-    np.savez(tmp_path, mu=mu, cov=cov)
+    np.savez(tmp_path, **arrays)
     os.replace(tmp_path, cache_path)
 
 
-def unique_epoch_images(feed, n_unique: int):
-    """Stream exactly ``n_unique`` finest-scale images from a feed, one
-    batch at a time — the real-side statistics pass of the standard FID
-    protocol (every unique image exactly once).
+def save_stats_atomic(cache_path: str, mu, cov) -> None:
+    save_npz_atomic(cache_path, mu=mu, cov=cov)
+
+
+def unique_epoch_batches(feed, n_unique: int):
+    """Stream exactly ``n_unique`` (finest-scale images, primary labels)
+    pairs from a feed, one batch at a time — the real-side pass of the
+    standard FID protocol (every unique image exactly once), with the
+    image-level labels the lite-IS probe trains on.
 
     Feeds iterate epochs back to back, so when the batch size does not
     divide the dataset the trailing batch straddles the boundary and its
@@ -142,10 +165,48 @@ def unique_epoch_images(feed, n_unique: int):
     for batch in iter(feed):
         img = np.asarray(batch["images"][-1])
         take = min(img.shape[0], n_unique - seen)
-        yield img[:take]
+        # image-only feeds (no layout tensors) get label 0 rows — usable
+        # for stats-only passes, never for probe fitting
+        lab = (primary_labels(batch) if "labels" in batch
+               else np.zeros(img.shape[0], np.int32))
+        yield img[:take], lab[:take]
         seen += take
         if seen >= n_unique:
             return
+
+
+def unique_epoch_images(feed, n_unique: int):
+    """Image-only view of :func:`unique_epoch_batches`."""
+    for img, _ in unique_epoch_batches(feed, n_unique):
+        yield img
+
+
+def real_stats_and_probe(labeled_batches, extractor, n_classes: int,
+                         need_stats: bool = True, need_probe: bool = True):
+    """One streamed pass over (images, labels) batches producing whichever
+    per-manifest real-side artifacts are needed: the FID sufficient
+    statistics (mu, cov) and/or the lite-IS class probe. Combining them
+    means a curve eval whose caches are both cold pays the full-manifest
+    extractor pass exactly once."""
+    from objgan_tpu.utils.eval_metrics import (
+        activation_stats, fit_class_probe,
+    )
+
+    acts, labs = [], []
+    for img, lab in labeled_batches:
+        acts.append(np.asarray(extractor(jnp.asarray(img))[0]))
+        labs.append(np.asarray(lab))
+    ra = np.concatenate(acts)
+    if float(ra.std()) < 1e-6:
+        print(
+            "WARNING: degenerate (near-constant) real activations — the "
+            "feature extractor is probably untrained (load converted "
+            "Inception weights for meaningful FID).", flush=True,
+        )
+    stats = activation_stats(ra) if need_stats else None
+    probe = (fit_class_probe(ra, np.concatenate(labs), n_classes)
+             if need_probe else None)
+    return stats, probe
 
 
 def real_activation_stats(

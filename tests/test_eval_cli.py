@@ -1,0 +1,72 @@
+"""End-to-end smoke of gan/eval.py in lite mode (synthetic paired feed).
+
+The shakedown curve invokes this CLI for every eval point, so its full
+path — sampling, feature extraction, probe-based lite-IS (VERDICT r3 next
+#4), FID, R-precision — must be proven green on CPU before a TPU curve
+trusts it."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_YML = """\
+CONFIG_NAME: tiny_eval_smoke
+TREE:
+  BASE_SIZE: 16
+TRAIN:
+  BATCH_SIZE: 2
+GAN:
+  DF_DIM: 8
+  GF_DIM: 8
+  Z_DIM: 16
+  CONDITION_DIM: 16
+TEXT:
+  EMBEDDING_DIM: 32
+  WORDS_NUM: 6
+  VOCAB_SIZE: 50
+  HIDDEN_DIM: 16
+  GLOVE_DIM: 16
+OBJ:
+  MAX_OBJECTS: 3
+  NUM_CLASSES: 7
+  ROI_SIZE: 4
+  LABEL_DIM: 16
+  GMM_COMPONENTS: 4
+  SHAPE_SIZE: 16
+BOX:
+  RNN_SIZE: 32
+  INPUT_ENCODING_SIZE: 16
+  ATT_HID_SIZE: 16
+  MAX_SEQ_LENGTH: 4
+SHAPE:
+  GF_DIM: 8
+  DF_DIM: 8
+  HIDDEN_DIM: 8
+"""
+
+
+def test_lite_eval_cli_end_to_end(tmp_path):
+    cfg = tmp_path / "tiny.yml"
+    cfg.write_text(TINY_YML)
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "import runpy,sys; sys.argv = sys.argv[1:];"
+         "runpy.run_path(sys.argv[0], run_name='__main__')",
+         os.path.join(REPO, "gan", "eval.py"),
+         "--cfg", str(cfg), "--num_batches", "2"],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+        env=dict(os.environ, OUTPUT_DIR=str(tmp_path)),
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    out = r.stdout
+    assert "eval over 4 samples [lite (framework encoder)]" in out
+    # probe-based lite-IS replaced the constant feature-softmax surrogate
+    assert "lite-IS probe:" in out
+    assert "lite-probe:" in out
+    for metric in ("FID:", "IS:", "R-precision:"):
+        assert metric in out, out
+    # untrained-encoder R-precision must still be flagged
+    assert "untrained encoders" in out
