@@ -24,8 +24,10 @@ sweep() {
     [ -e "$f" ] || continue
     grep -aq '^FID' "$f" || continue          # only completed evals
     local b=$(basename "$f")
-    if ! cmp -s "$f" "$DST/$b" 2>/dev/null; then
-      cp -f "$f" "$DST/$b"
+    cmp -s "$f" "$DST/$b" 2>/dev/null || cp -f "$f" "$DST/$b"
+    # git state, not file identity, decides whether to commit: the
+    # recipe's own cp leaves an identical-but-untracked file behind
+    if [ -n "$(git status --porcelain -- "$DST/$b")" ]; then
       git add "$DST/$b"
       changed=1
     fi
