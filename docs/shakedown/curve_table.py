@@ -30,6 +30,10 @@ def parse_log(path: str):
             m = re.match(r"^R-precision: ([\d.]+)", line)
             if m:
                 row["rprec"] = float(m.group(1))
+            m = re.match(r"^R-precision \(real-image ceiling\): ([\d.]+)",
+                         line)
+            if m:
+                row["rprec_ceiling"] = float(m.group(1))
             m = re.match(r"^eval over (\d+) samples", line)
             if m:
                 row["n"] = int(m.group(1))
@@ -44,12 +48,24 @@ def main(d: str) -> int:
         print(f"no complete fid_*.log files under {d}", file=sys.stderr)
         return 1
     n = rows[0].get("n", "?")
-    print(f"| Stage-C step | lite-FID (n={n}) | lite-IS | R-precision |")
-    print("|---|---|---|---|")
+    # the real-image ceiling column appears once any log carries it
+    # (r4 evals print it; earlier logs simply show n/a)
+    with_ceiling = any("rprec_ceiling" in r for r in rows)
+    hdr = f"| Stage-C step | lite-FID (n={n}) | lite-IS | R-precision |"
+    sep = "|---|---|---|---|"
+    if with_ceiling:
+        hdr += " R-prec ceiling (real) |"
+        sep += "---|"
+    print(hdr)
+    print(sep)
     for r in rows:
-        print(f"| {r['step']} | {r['fid']:.3f} "
-              f"| {r.get('is_mean', float('nan')):.3f} "
-              f"| {r.get('rprec', float('nan')):.3f} |")
+        line = (f"| {r['step']} | {r['fid']:.3f} "
+                f"| {r.get('is_mean', float('nan')):.3f} "
+                f"| {r.get('rprec', float('nan')):.3f} |")
+        if with_ceiling:
+            c = r.get("rprec_ceiling")
+            line += f" {c:.3f} |" if c is not None else " n/a |"
+        print(line)
     return 0
 
 

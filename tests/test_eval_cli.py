@@ -66,7 +66,8 @@ def test_lite_eval_cli_end_to_end(tmp_path):
     # probe-based lite-IS replaced the constant feature-softmax surrogate
     assert "lite-IS probe:" in out
     assert "lite-probe:" in out
-    for metric in ("FID:", "IS:", "R-precision:"):
+    for metric in ("FID:", "IS:", "R-precision:",
+                   "R-precision (real-image ceiling):"):
         assert metric in out, out
     # untrained-encoder R-precision must still be flagged
     assert "untrained encoders" in out
