@@ -17,10 +17,13 @@ import time
 
 # argv: [script [comma-separated FID segment steps]] — defaults drive the
 # original r3 recipe; the r3b restart passes its own script + 12 segments.
+# OBJGAN_SHK_DIR selects the scratch dir (r4's 10k run uses /root/shk4;
+# safe to parameterize — a running watchdog keeps its loaded copy).
 PIDFILE = "/tmp/shk3.pid"
 SCRIPT = (sys.argv[1] if len(sys.argv) > 1
           else "/root/repo/docs/shakedown/run_phases_r3.sh")
-LOG = "/root/shk3/watchdog.log"
+SHK = os.environ.get("OBJGAN_SHK_DIR", "/root/shk3")
+LOG = f"{SHK}/watchdog.log"
 SEGS = ([int(s) for s in sys.argv[2].split(",")] if len(sys.argv) > 2
         else [600 + 600 * i for i in range(13)])
 CHECK_S = 120
@@ -75,7 +78,7 @@ def alive(pid):
 
 
 def relaunch():
-    out = open("/root/shk3/run_wd.log", "ab")
+    out = open(f"{SHK}/run_wd.log", "ab")
     p = subprocess.Popen(["bash", SCRIPT], stdout=out, stderr=out,
                          start_new_session=True)
     open(PIDFILE, "w").write(str(p.pid))
@@ -87,7 +90,7 @@ def complete():
     for s in SEGS:
         try:
             if any(line.startswith("FID:")
-                   for line in open(f"/root/shk3/fid_{s}.log")):
+                   for line in open(f"{SHK}/fid_{s}.log")):
                 done += 1
         except OSError:
             pass
