@@ -42,6 +42,12 @@ def main():
     ap.add_argument("--force", action="store_true",
                     help="allow --strict without weights (numbers are "
                          "meaningless — random Inception features)")
+    ap.add_argument("--aug_eval", action="store_true",
+                    help="PROTOCOL BISECT ONLY: evaluate on augmented "
+                         "(flip + word-dropout) held-out batches — the "
+                         "pre-r3-fix eval protocol. Quantifies how much of "
+                         "a cross-curve difference is the eval-protocol "
+                         "fix rather than the model")
     args = ap.parse_args()
     if args.real_stats == "all" and not args.manifest:
         ap.error("--real_stats all needs --manifest (the whole-dataset "

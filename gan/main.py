@@ -72,8 +72,12 @@ def build_feed(cfg, args, with_images=True, with_masks=True):
         wire = bool(getattr(args, "wire", False))
         # training-time augmentation (random flip, <unk> word dropout) must
         # never touch eval/sampling feeds: a flipped GT layout or dropped
-        # caption word would silently bias every held-out metric
-        augment = bool(cfg.TRAIN.FLAG)
+        # caption word would silently bias every held-out metric.
+        # args.aug_eval (gan/eval.py --aug_eval) deliberately re-enables it
+        # on the eval split — the protocol-bisect knob for quantifying how
+        # much the r3 augmentation-free fix itself moved the curve.
+        augment = bool(cfg.TRAIN.FLAG) or bool(getattr(args, "aug_eval",
+                                                       False))
         if getattr(args, "grain", False):
             from objgan_tpu.data.grain_feed import grain_feed
 
