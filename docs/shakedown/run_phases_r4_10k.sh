@@ -25,6 +25,17 @@ L=/root/shk4
 R=/root/repo/docs/shakedown/r4_evals
 mkdir -p $L $R
 
+# Protocol bisect (VERDICT r3 weak #3): score the FINAL r3b checkpoint
+# under the PRE-FIX augmented eval protocol (--aug_eval). The r3b curve
+# lags the pre-fix r3 curve; the pre-fix checkpoints are gone, but the
+# delta (standard fid_7200 vs this) measures how much of the lag is the
+# eval-protocol fix rather than the class-head training fix.
+grep -aq '^FID' docs/shakedown/r3b_evals/fid_7200_aug.log 2>/dev/null || \
+  timeout 3600 python gan/eval.py --cfg docs/shakedown/proc3.yml \
+      --manifest /root/repo/data_proc2k/manifest.json \
+      --num_batches 128 --real_stats all --aug_eval \
+    | tee docs/shakedown/r3b_evals/fid_7200_aug.log
+
 # deterministic 10k dataset (~10 min; guarded by record count)
 python - <<'EOF'
 import json, os, sys
