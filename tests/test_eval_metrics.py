@@ -253,3 +253,22 @@ def test_unique_epoch_batches_pairs_images_with_labels():
     labs = np.concatenate([lab for _, lab in got])
     np.testing.assert_array_equal(ids, [0.0, 1.0, 2.0])
     np.testing.assert_array_equal(labs, [10, 11, 12])
+
+
+def test_probe_npz_roundtrip_preserves_probs(tmp_path):
+    """The curve caches the fitted probe as .npz next to the manifest;
+    reloading it must reproduce identical probabilities (0-d scalar fields
+    included)."""
+    from objgan_tpu.utils.eval_metrics import fit_class_probe, probe_probs
+    from objgan_tpu.utils.fid_runner import save_npz_atomic
+
+    rng = np.random.default_rng(5)
+    feats = rng.normal(size=(40, 8))
+    labels = rng.integers(0, 5, size=40)
+    probe = fit_class_probe(feats, labels, 5, iters=50)
+    path = str(tmp_path / ".fid_lite_probe_x.npz")
+    save_npz_atomic(path, **probe)
+    loaded = dict(np.load(path))
+    np.testing.assert_array_equal(probe_probs(loaded, feats),
+                                  probe_probs(probe, feats))
+    assert float(loaded["train_acc"]) == probe["train_acc"]
