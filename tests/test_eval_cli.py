@@ -71,3 +71,43 @@ def test_lite_eval_cli_end_to_end(tmp_path):
         assert metric in out, out
     # untrained-encoder R-precision must still be flagged
     assert "untrained encoders" in out
+
+
+def test_lite_eval_manifest_all_mode_caches_stats_and_probe(tmp_path):
+    """--real_stats all over a real manifest: the full-manifest pass must
+    produce BOTH per-manifest artifacts (FID real stats + lite-IS probe) in
+    one go, cache them next to the manifest, and a second eval must hit
+    both caches — the path every curve eval point takes on TPU."""
+    from objgan_tpu.data.procedural import build_manifest
+
+    data_dir = tmp_path / "proc8"
+    manifest = build_manifest(str(data_dir), 8, 64, seed=1)
+
+    cfg = tmp_path / "tiny.yml"
+    # procedural records carry real COCO class ids (1..80): widen the tiny
+    # config's label space to the production 81
+    yml = TINY_YML.replace("NUM_CLASSES: 7\n", "NUM_CLASSES: 81\n")
+    cfg.write_text(yml
+                   + f"OUTPUT_DIR: {tmp_path}\nDATA_DIR: {data_dir}\n"
+                   + "B_VALIDATION: False\n")
+    cmd = [sys.executable, "-c",
+           "import jax; jax.config.update('jax_platforms','cpu');"
+           "import runpy,sys; sys.argv = sys.argv[1:];"
+           "runpy.run_path(sys.argv[0], run_name='__main__')",
+           os.path.join(REPO, "gan", "eval.py"),
+           "--cfg", str(cfg), "--num_batches", "2",
+           "--manifest", manifest, "--real_stats", "all"]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=900,
+                        cwd=REPO)
+    assert r1.returncode == 0, (r1.stdout[-2000:], r1.stderr[-3000:])
+    assert "real-side FID statistics: full manifest, 8 unique" in r1.stdout
+    assert "lite-IS probe:" in r1.stdout
+    stats = list(data_dir.glob(".fid_real_stats_*.npz"))
+    probes = list(data_dir.glob(".fid_lite_probe_*.npz"))
+    assert len(stats) == 1 and len(probes) == 1, (stats, probes)
+
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=900,
+                        cwd=REPO)
+    assert r2.returncode == 0, (r2.stdout[-2000:], r2.stderr[-3000:])
+    assert f"real-side stats: cached ({stats[0]})" in r2.stdout
+    assert f"lite-IS probe: cached ({probes[0]})" in r2.stdout
