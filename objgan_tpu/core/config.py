@@ -134,13 +134,15 @@ class GanConfig:
     # config runs out of HBM — this switch is an OOM escape hatch, not a
     # performance tool.
     REMAT: str = "none"       # "none" | "stages"
-    # Discriminator/object-D compute dtype: "float32" (rounds 1-3 measured
-    # behavior — BASELINE.md rooflines include fp32 D traffic) or "compute"
-    # (follow cfg.DTYPE, i.e. bfloat16 by default — halves D-side HBM bytes
-    # in a train step measured AT the HBM roofline). Default stays float32
-    # until the bf16-D A/B is measured on hardware (throughput + loss-curve
-    # stability), per the repo's measure-then-keep discipline.
-    D_DTYPE: str = "float32"  # "float32" | "compute"
+    # Discriminator/object-D compute dtype: "compute" (follow cfg.DTYPE,
+    # i.e. bfloat16 by default) or "float32" (rounds 1-3 behavior). Default
+    # flipped to "compute" after the round-4 hardware A/B + quality confirm
+    # (BASELINE.md round 4): -7.4% step time / +8.0% train throughput on a
+    # step measured AT the HBM roofline, with a 7,200-step confirm curve
+    # whose FID/R-precision plateau (0.299/0.552) matches fp32-D
+    # (0.296/0.556) point-for-point from step 3600 on. D logits/losses
+    # still reduce in fp32; fp32 attention maps unaffected.
+    D_DTYPE: str = "compute"  # "compute" | "float32"
 
 
 @dataclass(frozen=True)
