@@ -16,19 +16,19 @@
 # log-guarded; a relaunch fast-forwards.
 #
 # Run under the watchdog:
-#   mkdir -p /root/shk5
-#   OBJGAN_SHK_DIR=/root/shk5 nohup python docs/shakedown/watchdog_r3.py \
+#   mkdir -p /root/shk6
+#   OBJGAN_SHK_DIR=/root/shk6 nohup python docs/shakedown/watchdog_r3.py \
 #     docs/shakedown/run_phases_r4_30k.sh \
 #     2000,4000,6000,8000,10000,12000,14000,16000,18000,20000,22000,24000 \
-#     > /root/shk5/wd_stdout.log 2>&1 & echo $! > /tmp/wd.pid
-#   nohup bash docs/shakedown/mirror_evals.sh /root/shk5 \
+#     > /root/shk6/wd_stdout.log 2>&1 & echo $! > /tmp/wd.pid
+#   nohup bash docs/shakedown/mirror_evals.sh /root/shk6 \
 #     docs/shakedown/r4c_evals > /tmp/mirror.log 2>&1 &
 set -ex
 cd "$(dirname "$0")/../.."
 D=/root/repo/data_proc30k
 M=$D/manifest.json
 C=/root/repo/docs/shakedown/proc6_30k.yml
-L=/root/shk5
+L=/root/shk6
 R=/root/repo/docs/shakedown/r4c_evals
 mkdir -p $L $R
 
