@@ -213,7 +213,11 @@ def _run_loop(cfg, stage, trainer_state, step_fn, feed, writer, manager,
     stream from zero — and every save is guarded against step collisions.
     """
     maybe_initialize_distributed()
-    mesh = make_mesh()
+    # MESH.MODEL_PARALLELISM partitions devices into (data, model) groups;
+    # at parity it is 1 and the mesh is pure DP. Params stay replicated
+    # either way (no pspec uses the model axis yet — the escape hatch is
+    # the mesh layout, tested in tests/test_parallel.py).
+    mesh = make_mesh(model_parallelism=cfg.MESH.MODEL_PARALLELISM)
     n_data = mesh.shape["data"]
     if cfg.TRAIN.BATCH_SIZE % n_data:
         raise ValueError(

@@ -53,6 +53,35 @@ def test_dp_train_step_runs_and_matches_single_device(tiny_cfg):
     assert bool(jnp.all(jnp.isfinite(leaf)))
 
 
+def test_model_axis_mesh_trains_identically(tiny_cfg):
+    """The TP escape hatch (MESH.MODEL_PARALLELISM, SURVEY §2.5): a
+    (4 data x 2 model) mesh must produce the same train-step metrics as
+    pure DP — no pspec uses the model axis yet, so arrays replicate over
+    it and only the data-axis partitioning changes."""
+    cfg = tiny_cfg.replace(DTYPE="float32")
+    trainer = GanTrainer(cfg)
+    rng = jax.random.PRNGKey(0)
+    batch = synthetic_batch(cfg, rng, 8)
+    state = trainer.init_state(rng, batch)
+    step = trainer.jitted_train_step(donate=False)
+
+    mesh_tp = make_mesh(model_parallelism=2)
+    assert mesh_tp.shape[DATA_AXIS] == 4
+    assert mesh_tp.shape["model"] == 2
+    _, m_tp = step(replicate(mesh_tp, state), shard_batch(mesh_tp, batch),
+                   jax.random.PRNGKey(1))
+
+    mesh_dp = make_mesh()
+    _, m_dp = step(replicate(mesh_dp, state), shard_batch(mesh_dp, batch),
+                   jax.random.PRNGKey(1))
+
+    for k in m_dp:
+        np.testing.assert_allclose(float(m_dp[k]), float(m_tp[k]),
+                                   rtol=2e-3, atol=2e-4, err_msg=k)
+    with pytest.raises(ValueError):
+        make_mesh(model_parallelism=3)  # 8 devices not divisible
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
