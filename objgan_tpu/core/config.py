@@ -270,7 +270,42 @@ class Config:
         return dataclasses.replace(self, **kw)
 
     def merged(self, overrides: Mapping[str, Any]) -> "Config":
-        return _merge_into(self, overrides)
+        return _validate(_merge_into(self, overrides))
+
+
+def _validate(cfg: "Config") -> "Config":
+    """Reject configurations this framework cannot honor, at load time.
+
+    Two classes: enum-string fields whose dispatch is ``== "value"`` (a typo
+    would otherwise silently select the else-branch), and lineage
+    compatibility flags that are ACCEPTED at their reference defaults but
+    whose alternate behavior was never built (requesting it must fail loud,
+    not train a silently different model). Purely-ignored knobs (GPU_ID,
+    CUDA, WORKERS, TRAIN.B_NET_D — D construction follows TRAIN.FLAG here)
+    stay unvalidated for yml compatibility.
+    """
+    checks = [
+        (cfg.DTYPE in ("bfloat16", "float32"),
+         f"DTYPE must be 'bfloat16' or 'float32', got {cfg.DTYPE!r}"),
+        (cfg.GAN.D_DTYPE in ("float32", "compute"),
+         f"GAN.D_DTYPE must be 'float32' or 'compute', got {cfg.GAN.D_DTYPE!r}"),
+        (cfg.GAN.UP_MODE in ("nearest", "subpixel"),
+         f"GAN.UP_MODE must be 'nearest' or 'subpixel', got {cfg.GAN.UP_MODE!r}"),
+        (cfg.GAN.REMAT in ("none", "stages"),
+         f"GAN.REMAT must be 'none' or 'stages', got {cfg.GAN.REMAT!r}"),
+        (cfg.TEXT.RNN_TYPE == "LSTM",
+         f"TEXT.RNN_TYPE: only 'LSTM' is implemented (lineage default); "
+         f"got {cfg.TEXT.RNN_TYPE!r}"),
+        (cfg.GAN.B_ATTENTION,
+         "GAN.B_ATTENTION=False (attention-free generator) is not built — "
+         "the attention path IS this model"),
+        (not cfg.GAN.B_DCGAN,
+         "GAN.B_DCGAN=True (single-stage DCGAN topology) is not built"),
+    ]
+    for ok, msg in checks:
+        if not ok:
+            raise ValueError(msg)
+    return cfg
 
 
 def cfg_from_file(path: str, base: Config | None = None) -> Config:

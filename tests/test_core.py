@@ -406,3 +406,26 @@ def test_config_yaml_type_coercion_and_validation():
         cfg_from_dict({"B_VALIDATION": 1})
     with pytest.raises(ValueError, match="expects a float"):
         cfg_from_dict({"TRAIN": {"GENERATOR_LR": True}})
+
+
+def test_config_semantic_validation():
+    """Enum-string fields dispatch via `== "value"`; a typo must fail at
+    load, not silently select the else-branch. Lineage flags whose
+    alternate behavior was never built must fail loud when requested."""
+    import pytest
+
+    from objgan_tpu.core.config import cfg_from_dict
+
+    # reference defaults pass
+    cfg_from_dict({"GAN": {"B_DCGAN": False}, "TEXT": {"RNN_TYPE": "LSTM"}})
+    for bad in [
+        {"DTYPE": "float16"},
+        {"GAN": {"D_DTYPE": "bfloat16"}},   # plausible typo for "compute"
+        {"GAN": {"UP_MODE": "bilinear"}},
+        {"GAN": {"REMAT": "all"}},
+        {"TEXT": {"RNN_TYPE": "GRU"}},      # lineage option, not built
+        {"GAN": {"B_ATTENTION": False}},
+        {"GAN": {"B_DCGAN": True}},
+    ]:
+        with pytest.raises(ValueError):
+            cfg_from_dict(bad)
