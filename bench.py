@@ -175,17 +175,30 @@ def _exclusive_chip(pidfiles=None):
     # SIGKILLed, OOM-killed, or hangs forever on a lost relay RPC — the
     # frozen shakedown would then stay frozen permanently.  A detached
     # helper SIGCONTs the stopped pids when the bench pid disappears, or
-    # unconditionally after a hard deadline (a hung bench measures
-    # nothing, so thawing the curve costs nothing).
+    # after the hard deadline IF the bench's CPU clock is also frozen
+    # (the repo's lost-RPC hang signature). A bench that is alive with
+    # advancing CPU time is never thawed-under: a legitimately slow run
+    # (cold remote-tunnel compiles are 3-8 min EACH) crossing the
+    # deadline would otherwise silently lose chip exclusivity and print
+    # contended numbers with no marker that anything went wrong.
     deadline_s = float(os.environ.get("OBJGAN_BENCH_DEADMAN_S", "7200"))
     poll_s = float(os.environ.get("OBJGAN_BENCH_DEADMAN_POLL_S", "10"))
+    stall_s = float(os.environ.get("OBJGAN_BENCH_DEADMAN_STALL_S", "600"))
     helper = (
         "import os,signal,sys,time\n"
-        "bench=int(sys.argv[1]); deadline=time.time()+float(sys.argv[2])\n"
-        "poll=float(sys.argv[3]); pids=[int(p) for p in sys.argv[4:]]\n"
-        "while time.time()<deadline:\n"
-        "    try: os.kill(bench,0)\n"
-        "    except OSError: break\n"
+        "bench=int(sys.argv[1]); start=time.time()\n"
+        "deadline=start+float(sys.argv[2]); poll=float(sys.argv[3])\n"
+        "stall=float(sys.argv[4]); pids=[int(p) for p in sys.argv[5:]]\n"
+        "def cpu():\n"
+        "    f=open('/proc/%d/stat'%bench).read().rsplit(')',1)[1].split()\n"
+        "    return int(f[11])+int(f[12])\n"  # utime+stime (fields 14,15)
+        "last=-1; moved=time.time()\n"
+        "while True:\n"
+        "    try: c=cpu()\n"
+        "    except OSError: break\n"  # bench exited/killed -> thaw
+        "    now=time.time()\n"
+        "    if c!=last: last=c; moved=now\n"
+        "    if now>=deadline and now-moved>=stall: break\n"  # true hang\n"
         "    time.sleep(poll)\n"
         "for p in reversed(pids):\n"
         "    try: os.kill(p,signal.SIGCONT)\n"
@@ -193,7 +206,7 @@ def _exclusive_chip(pidfiles=None):
     )
     subprocess.Popen(
         [sys.executable, "-c", helper, str(os.getpid()), str(deadline_s),
-         str(poll_s)] + [str(p) for p in stopped],
+         str(poll_s), str(stall_s)] + [str(p) for p in stopped],
         start_new_session=True, stdout=subprocess.DEVNULL,
         stderr=subprocess.DEVNULL)
     return stopped

@@ -208,11 +208,13 @@ def main():
         cache_path = real_stats_cache_path(
             cfg, args.manifest, n_real_unique, mode, args.inception_pth,
             records=all_recs, image_root=cfg.DATA_DIR)
-        # the lite-IS probe shares the stats cache's invalidation key:
-        # both are pure functions of (feature space, manifest data)
+        # the lite-IS probe shares the stats cache's invalidation key
+        # plus its class count (the probe, unlike (mu, cov), is also a
+        # function of cfg.OBJ.NUM_CLASSES)
         probe_path = real_stats_cache_path(
             cfg, args.manifest, n_real_unique, mode, args.inception_pth,
-            records=all_recs, image_root=cfg.DATA_DIR, kind="lite_probe")
+            records=all_recs, image_root=cfg.DATA_DIR, kind="lite_probe",
+            n_classes=cfg.OBJ.NUM_CLASSES)
         if os.path.exists(cache_path):
             z = np.load(cache_path)
             real_stats = (z["mu"], z["cov"])
@@ -241,20 +243,22 @@ def main():
                 probe = fitted
                 save_npz_atomic(probe_path, **fitted)
 
-    fake_probs_all = np.concatenate(fake_probs)
+    fake_acts_all = np.concatenate(fake_acts)
     if probe is not None:
         # lite mode: p(y|x) from the real-image class probe, not the old
         # constant feature-softmax surrogate (VERDICT r3 weak #2)
         from objgan_tpu.utils.eval_metrics import probe_probs
 
-        fake_probs_all = probe_probs(probe, np.concatenate(fake_acts))
+        fake_probs_all = probe_probs(probe, fake_acts_all)
         print(f"lite-IS probe: {cfg.OBJ.NUM_CLASSES}-way head on real "
               f"images — train acc {float(probe['train_acc']):.3f}, "
               f"holdout acc {float(probe['holdout_acc']):.3f}")
+    else:  # strict mode: the Inception extractor's own p(y|x) softmax
+        fake_probs_all = np.concatenate(fake_probs)
 
     fid, (is_m, is_s) = compute_fid_is(
         [], [], extractor, real_stats=real_stats,
-        fake_activations=(np.concatenate(fake_acts), fake_probs_all))
+        fake_activations=(fake_acts_all, fake_probs_all))
     rp = r_precision(np.concatenate(sents), np.concatenate(globals_))
     # the GT ceiling: the same metric scored on the REAL images. Bounds
     # what any generator can reach under this protocol/encoder — a fake
@@ -268,12 +272,11 @@ def main():
     # for published-comparable metrics (VERDICT r1 weak #6)
     if args.strict:
         is_tag = ""
-    elif probe is not None:
+    else:
+        # lite mode always fits/loads the probe (paired or full-manifest
+        # pass), so there is no third feature-softmax output mode
         is_tag = (" [lite-probe: class head on lite features — relative, "
                   "NOT comparable to published IS]")
-    else:
-        is_tag = (" [lite: feature-softmax surrogate — NOT comparable to "
-                  "published IS]")
     rp_tag = "" if encoders_trained else (
         " [untrained encoders — meaningless until DAMSM is pretrained]")
     print(f"eval over {n} samples [{mode}]")

@@ -301,6 +301,10 @@ def _validate(cfg: "Config") -> "Config":
          "the attention path IS this model"),
         (not cfg.GAN.B_DCGAN,
          "GAN.B_DCGAN=True (single-stage DCGAN topology) is not built"),
+        (cfg.MESH.MODEL_PARALLELISM >= 1,
+         f"MESH.MODEL_PARALLELISM must be >= 1, got "
+         f"{cfg.MESH.MODEL_PARALLELISM} (make_mesh would die in modulo/"
+         f"reshape instead of a clear error)"),
     ]
     for ok, msg in checks:
         if not ok:

@@ -128,3 +128,48 @@ def test_deadman_resumes_tree_after_sigkill(tmp_path):
     finally:
         parent.terminate()
         parent.wait()
+
+
+def test_deadman_deadline_spares_cpu_active_bench(tmp_path):
+    """The deadline alone must NOT thaw under a live bench whose CPU is
+    advancing (a legitimately slow run past OBJGAN_BENCH_DEADMAN_S would
+    silently lose chip exclusivity mid-measurement); with the bench's CPU
+    frozen past deadline+stall, the thaw must fire (the lost-RPC hang)."""
+    parent = subprocess.Popen(["bash", "-c", FAKE_TREE])
+    try:
+        time.sleep(0.4)
+        pf = tmp_path / "wd.pid"
+        pf.write_text(str(parent.pid))
+        code = (
+            f"import sys; sys.path.insert(0, {REPO!r})\n"
+            f"import bench, time\n"
+            f"bench._exclusive_chip([{str(pf)!r}])\n"
+            f"print('PAUSED', flush=True)\n"
+            f"t = time.time()\n"
+            f"while time.time() - t < 6: pass\n"  # CPU-busy past deadline
+            f"time.sleep(300)\n"                  # then CPU-frozen
+        )
+        env = dict(os.environ, OBJGAN_BENCH_DEADMAN_S="1",
+                   OBJGAN_BENCH_DEADMAN_POLL_S="0.2",
+                   OBJGAN_BENCH_DEADMAN_STALL_S="2")
+        proc = subprocess.Popen([sys.executable, "-c", code], env=env,
+                                stdout=subprocess.PIPE, text=True)
+        try:
+            assert proc.stdout.readline().strip() == "PAUSED"
+            # past the 1s deadline but CPU-active: must stay frozen
+            time.sleep(4)
+            assert _state(parent.pid) == "T", \
+                "deadman thawed under a CPU-active bench"
+            # bench goes idle (sleep): CPU freezes, deadline long past ->
+            # the stall window elapses and the thaw fires
+            deadline = time.time() + 15
+            while time.time() < deadline and _state(parent.pid) == "T":
+                time.sleep(0.2)
+            assert _state(parent.pid) != "T", \
+                "deadman did not thaw a CPU-frozen bench past the deadline"
+        finally:
+            proc.kill()
+            proc.wait()
+    finally:
+        parent.terminate()
+        parent.wait()

@@ -49,7 +49,10 @@ SHAPE:
 
 def test_lite_eval_cli_end_to_end(tmp_path):
     cfg = tmp_path / "tiny.yml"
-    cfg.write_text(TINY_YML)
+    # OUTPUT_DIR must go through the yml (config never reads env vars) —
+    # the default would leak output/tiny_eval_smoke_gan/ into the repo,
+    # and a stale checkpoint there would flip the untrained-encoder banner
+    cfg.write_text(TINY_YML + f"OUTPUT_DIR: {tmp_path}\n")
     r = subprocess.run(
         [sys.executable, "-c",
          "import jax; jax.config.update('jax_platforms','cpu');"
@@ -58,7 +61,6 @@ def test_lite_eval_cli_end_to_end(tmp_path):
          os.path.join(REPO, "gan", "eval.py"),
          "--cfg", str(cfg), "--num_batches", "2"],
         capture_output=True, text=True, timeout=900, cwd=REPO,
-        env=dict(os.environ, OUTPUT_DIR=str(tmp_path)),
     )
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
     out = r.stdout
