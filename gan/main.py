@@ -65,10 +65,14 @@ def build_feed(cfg, args, with_images=True, with_masks=True):
 
         n_global = len(records)
         feed_cfg = cfg
+        # class_ids must be GLOBAL record indices (DAMSM's duplicate mask):
+        # a host serving records[p::n] maps local index i -> p + i*n
+        id_offset, id_stride = 0, 1
         if jax.process_count() > 1:
             records = process_local_records(records)
             _, local_b = process_local_batch_slice(cfg.TRAIN.BATCH_SIZE)
             feed_cfg = cfg.merged({"TRAIN": {"BATCH_SIZE": local_b}})
+            id_offset, id_stride = jax.process_index(), jax.process_count()
         wire = bool(getattr(args, "wire", False))
         # training-time augmentation (random flip, <unk> word dropout) must
         # never touch eval/sampling feeds: a flipped GT layout or dropped
@@ -83,10 +87,12 @@ def build_feed(cfg, args, with_images=True, with_masks=True):
 
             return grain_feed(feed_cfg, records, vocab, seed=cfg.RNG_SEED,
                               with_images=with_images, with_masks=with_masks,
-                              augment=augment, wire=wire), n_global, vocab
+                              augment=augment, wire=wire, id_offset=id_offset,
+                              id_stride=id_stride), n_global, vocab
         return iter(CocoFeed(feed_cfg, records, vocab, seed=cfg.RNG_SEED,
                              with_images=with_images, with_masks=with_masks,
-                             augment=augment, wire=wire)), n_global, vocab
+                             augment=augment, wire=wire, id_offset=id_offset,
+                             id_stride=id_stride)), n_global, vocab
     return None, 0, None
 
 

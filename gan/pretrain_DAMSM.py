@@ -32,7 +32,10 @@ def main():
     cfg = cfg_from_file(args.cfg_file) if args.cfg_file else Config()
     from gan.main import build_feed
 
-    feed, n_records, vocab = build_feed(cfg, args)
+    # with_masks=False: DAMSM reads only images/captions/cap_lens/class_ids
+    # (train/damsm.py) — per-object masks would be ~17% extra host->device
+    # bytes, first-epoch rasterization work, and wire-cache RAM, all dead
+    feed, n_records, vocab = build_feed(cfg, args, with_masks=False)
     cfg, max_steps = cli.apply_epoch_schedule(cfg, n_records, args.max_steps)
     cli.pretrain_damsm(cfg, feed, max_steps=max_steps,
                        ixtoword=vocab.ixtoword if vocab else None)

@@ -287,9 +287,19 @@ def _run_loop(cfg, stage, trainer_state, step_fn, feed, writer, manager,
                     # overshooting by up to K-1 (segmented recipes key off
                     # exact step counts). Pays the single-step compile only
                     # when max_steps-restored is not a multiple of K.
+                    # NOT run_single: val is already device-placed by the
+                    # prefetcher under P(None, "data"), so x[k] is already
+                    # exactly batch-sharded — re-feeding it through
+                    # shard_batch would re-transfer single-host and crash
+                    # multi-host (put_global's np.asarray cannot read a
+                    # non-fully-addressable global array).
                     for k in range(max_steps - step):
                         bk = jax.tree.map(lambda x, k=k: x[k], val)
-                        state, metrics = run_single(bk, step)
+                        if needs_rng:
+                            state, metrics = step_fn(
+                                state, bk, jax.random.fold_in(rng, step))
+                        else:
+                            state, metrics = step_fn(state, bk)
                         step += 1
                 else:  # "tail": bounded feed's final partial stack
                     state, metrics = run_single(val, step)

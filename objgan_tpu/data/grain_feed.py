@@ -79,15 +79,26 @@ def grain_feed(
     augment: bool = True,
     wire: bool = False,
     with_masks: bool = True,
+    id_offset: int = 0,
+    id_stride: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Infinite (or ``num_epochs``-bounded) batch iterator via Grain."""
+    """Infinite (or ``num_epochs``-bounded) batch iterator via Grain.
+
+    ``id_offset``/``id_stride`` map local record indices back to GLOBAL
+    ids under multi-host strided partitioning (records[p::n] -> offset=p,
+    stride=n), same contract as CocoFeed — class_ids must be globally
+    unique or DAMSM's duplicate mask silently deletes cross-host
+    negatives."""
     import grain.python as gp
 
-    from objgan_tpu.data.pipeline import validate_labels, wire_cache_allowed
+    from objgan_tpu.data.pipeline import (
+        validate_labels, validate_vocab, wire_cache_allowed,
+    )
 
     records = list(records)  # materialize once: a one-shot iterator would be
     # exhausted by validate_labels and silently yield an empty dataset
     validate_labels(cfg, records)
+    validate_vocab(cfg, vocab)  # CocoFeed.__new__ skips __init__'s check
     transform = _RecordTransform(
         cfg, vocab, with_images, augment, wire=wire, with_masks=with_masks,
         cacheable=wire_cache_allowed(cfg, len(records),
@@ -103,7 +114,9 @@ def grain_feed(
         .seed(seed)
         .shuffle()
         .map_with_index(
-            lambda i, row: transform((row[1], seed * 100003 + i, row[0]))
+            lambda i, row: transform(
+                (row[1], seed * 100003 + i,
+                 id_offset + row[0] * id_stride))
         )
     )
     if num_epochs is None:

@@ -137,12 +137,22 @@ class CocoFeed:
                  seed: int = 0, with_images: bool = True,
                  augment: bool = True, image_root: Optional[str] = None,
                  wire: bool = False, cache_limit: Optional[int] = None,
-                 with_masks: bool = True):
+                 with_masks: bool = True, id_offset: int = 0,
+                 id_stride: int = 1):
         self.cfg = cfg
         self.records = list(records)
         self.vocab = vocab
         self.rng = np.random.default_rng(seed)
         self.with_images = with_images
+        # class_ids must be GLOBALLY unique image ids (DAMSM's class mask
+        # excludes same-id pairs as duplicates). Under multi-host DP each
+        # host feeds its strided partition records[p::n] — every host
+        # passes (id_offset=p, id_stride=n) so local index i maps back to
+        # the global record index p + i*n; two hosts can then never hold
+        # different images under the same id, which would silently delete
+        # valid negatives from every global contrastive loss.
+        self.id_offset = int(id_offset)
+        self.id_stride = int(id_stride)
         # with_masks=False skips per-object mask rasterization and omits
         # the "shapes"/wire-mask tensors entirely — for consumers that read
         # only captions+layouts (Stage-A box training: masks would be ~99%
@@ -159,13 +169,23 @@ class CocoFeed:
         self.image_root = image_root or cfg.DATA_DIR
         if not self.records:
             raise ValueError("empty dataset")
-        if len(vocab) > cfg.TEXT.VOCAB_SIZE:
-            raise ValueError(
-                f"vocabulary has {len(vocab)} words but cfg.TEXT.VOCAB_SIZE "
-                f"is {cfg.TEXT.VOCAB_SIZE}; raise it (nn.Embed would silently "
-                "clamp out-of-range token ids)"
-            )
+        validate_vocab(cfg, vocab)
         validate_labels(cfg, self.records)
+        if with_images:
+            # batch assembly derives its key set from the first row, so a
+            # dataset MIXING image-carrying and image-less records would
+            # either drop the images key for a whole batch or KeyError
+            # steps later depending on shuffle order — reject it up front
+            # (uniformly image-less records are fine: consistent keys).
+            missing = [i for i, r in enumerate(self.records)
+                       if r.get("image") is None and not r.get("image_file")]
+            if missing and len(missing) != len(self.records):
+                raise ValueError(
+                    f"{len(missing)} of {len(self.records)} records have "
+                    f"neither 'image' nor 'image_file' (first: record "
+                    f"{missing[0]}) — a mixed dataset produces "
+                    f"order-dependent batch structure; fix the manifest or "
+                    f"pass with_images=False")
 
     def _load_image(self, rec: Dict) -> Optional[np.ndarray]:
         """Inline array, or lazy-load ``image_file`` (converted COCO
@@ -271,7 +291,10 @@ class CocoFeed:
             if not np.issubdtype(img.dtype, np.integer):
                 img = (img + 1.0) * 127.5  # [-1, 1] float contract -> u8
             img = _resize_area(img.astype(np.float32), sz)
-            return np.clip(img, 0.0, 255.0).astype(np.uint8)
+            # round, don't truncate: the PIL path rounds, and truncation
+            # would bias inline images ~-0.5 LSB vs the identical on-disk
+            # file (breaking _resize_area's same-pixel-statistics contract)
+            return np.clip(np.round(img), 0.0, 255.0).astype(np.uint8)
         if rec.get("image_file"):
             from PIL import Image
 
@@ -298,7 +321,12 @@ class CocoFeed:
             "labels": labels, "boxes": boxes, "valid": valid,
         }
         if masks is not None:
-            base["masks_u8"] = (masks > 0.5).astype(np.uint8)
+            # 8-bit quantization, not binarization: soft/fractional mask
+            # values (area-resized boundaries, precomputed soft masks)
+            # survive the wire within 1/510; binary masks round-trip
+            # exactly (1.0 -> 255 -> 1.0). from_wire divides by 255.
+            base["masks_u8"] = np.clip(
+                np.round(masks * 255.0), 0.0, 255.0).astype(np.uint8)
         if self.with_images:
             base["image_u8"] = self._finest_u8(rec)
         if self._cache is not None:
@@ -397,7 +425,13 @@ class CocoFeed:
         index_stream = self._epoch_indices()
         while True:
             idx = [next(index_stream) for _ in range(b)]
-            rows = [self._one(self.records[i], rec_id=int(i)) for i in idx]
+            # rec_id = GLOBAL record index (see __init__: multi-host hosts
+            # invert their strided partition); also the wire-cache key
+            rows = [
+                self._one(self.records[i],
+                          rec_id=self.id_offset + int(i) * self.id_stride)
+                for i in idx
+            ]
             batch: Dict = {}
             for k in rows[0]:
                 if k == "images":
@@ -498,6 +532,19 @@ def wire_cache_allowed(cfg: Config, n_records: int,
     budget = _physical_ram_bytes() // 4
     per = wire_record_bytes(cfg, with_images, with_masks)
     return n_records * per <= budget
+
+
+def validate_vocab(cfg: Config, vocab) -> None:
+    """Fail fast when the built vocabulary exceeds cfg.TEXT.VOCAB_SIZE —
+    nn.Embed would silently clamp out-of-range token ids. Standalone (not
+    just a CocoFeed.__init__ check) because grain_feed constructs CocoFeed
+    via __new__ and must run the same validation itself."""
+    if len(vocab) > cfg.TEXT.VOCAB_SIZE:
+        raise ValueError(
+            f"vocabulary has {len(vocab)} words but cfg.TEXT.VOCAB_SIZE "
+            f"is {cfg.TEXT.VOCAB_SIZE}; raise it (nn.Embed would silently "
+            "clamp out-of-range token ids)"
+        )
 
 
 def validate_labels(cfg: Config, records: Sequence[Dict]) -> None:

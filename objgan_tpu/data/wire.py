@@ -27,7 +27,7 @@ from typing import Dict
 import jax.numpy as jnp
 
 WIRE_IMAGE = "image_u8"    # (B, S, S, 3) uint8 finest scale
-WIRE_SHAPES = "shapes_u8"  # (B, O, s, s) uint8 in {0, 1}
+WIRE_SHAPES = "shapes_u8"  # (B, O, s, s) uint8, mask value quantized x255
 
 
 def is_wire(batch: Dict) -> bool:
@@ -43,7 +43,10 @@ def from_wire(cfg, batch: Dict) -> Dict:
     out = {k: v for k, v in batch.items()
            if k not in (WIRE_IMAGE, WIRE_SHAPES)}
     if WIRE_SHAPES in batch:
-        out["shapes"] = batch[WIRE_SHAPES].astype(jnp.float32)
+        # masks ride the wire 255-quantized so soft/fractional values
+        # (area-resized boundaries) survive within 1/510 instead of being
+        # binarized; binary masks round-trip exactly (255/255 == 1.0)
+        out["shapes"] = batch[WIRE_SHAPES].astype(jnp.float32) / 255.0
     if WIRE_IMAGE in batch:
         img = batch[WIRE_IMAGE].astype(jnp.float32) / 127.5 - 1.0
         sizes = list(cfg.branch_sizes)          # coarse -> fine

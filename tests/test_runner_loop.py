@@ -142,6 +142,28 @@ def test_epoch_faithful_feed(tiny_cfg):
     assert all(ids.count(i) == 2 for i in range(n_rec))  # 2 visits each
 
 
+def test_class_ids_are_global_under_strided_partition(tiny_cfg):
+    """Multi-host: host p serving records[p::n] must emit GLOBAL record
+    ids (p + i*n), or two hosts' different images share a class_id and
+    DAMSM's duplicate mask silently deletes cross-host negatives."""
+    from objgan_tpu.data.pipeline import CocoFeed
+    from objgan_tpu.data.tokenizer import Vocab
+
+    recs = [{"captions": [f"thing {i}"], "labels": [1],
+             "boxes": [[0.1, 0.1, 0.2, 0.2]]} for i in range(6)]
+    vocab = Vocab.build(["thing " + " ".join(str(i) for i in range(6))])
+    cfg = tiny_cfg.merged({"TRAIN": {"BATCH_SIZE": 3}})
+    seen = set()
+    for p, n in ((0, 2), (1, 2)):  # two fake hosts, strided partition
+        feed = CocoFeed(cfg, recs[p::n], vocab, seed=0, with_images=False,
+                        augment=False, id_offset=p, id_stride=n)
+        ids = {int(x) for x in next(iter(feed))["class_ids"]}
+        assert ids == {p + i * n for i in range(3)}
+        assert not ids & seen, "two hosts shared a class_id"
+        seen |= ids
+    assert seen == set(range(6))
+
+
 def test_split_records_deterministic_partition():
     from objgan_tpu.data.pipeline import split_records
 

@@ -49,11 +49,17 @@ class TestFromWire:
         assert not is_wire(batch)
 
     def test_shapes_roundtrip(self, tiny_cfg):
+        # wire masks are 255-quantized (see pipeline._wire_base): binary
+        # masks round-trip exactly, soft masks within 1/510
         m = (np.random.default_rng(1).random((2, 3, 8, 8)) > 0.5)
-        out = from_wire(tiny_cfg, {WIRE_SHAPES: m.astype(np.uint8)})
+        out = from_wire(tiny_cfg, {WIRE_SHAPES: m.astype(np.uint8) * 255})
         assert out["shapes"].dtype == np.float32
         np.testing.assert_array_equal(np.asarray(out["shapes"]),
                                       m.astype(np.float32))
+        soft = np.random.default_rng(2).random((1, 2, 8, 8)).astype(np.float32)
+        enc = np.clip(np.round(soft * 255.0), 0, 255).astype(np.uint8)
+        dec = np.asarray(from_wire(tiny_cfg, {WIRE_SHAPES: enc})["shapes"])
+        np.testing.assert_allclose(dec, soft, atol=1.0 / 510)
 
 
 class TestWireFeed:
