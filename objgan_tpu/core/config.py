@@ -270,10 +270,10 @@ class Config:
         return dataclasses.replace(self, **kw)
 
     def merged(self, overrides: Mapping[str, Any]) -> "Config":
-        return _validate(_merge_into(self, overrides))
+        return validate_config(_merge_into(self, overrides))
 
 
-def _validate(cfg: "Config") -> "Config":
+def validate_config(cfg: "Config") -> "Config":
     """Reject configurations this framework cannot honor, at load time.
 
     Two classes: enum-string fields whose dispatch is ``== "value"`` (a typo

@@ -80,16 +80,14 @@ def object_d_loss(
     cls_ce = optax.softmax_cross_entropy_with_integer_labels(
         out_real["cls"], labels
     )
-    loss = (
-        _masked_mean(rf_real, obj_valid)
-        + _masked_mean(rf_fake, obj_valid)
-        + _masked_mean(cls_ce, obj_valid)
-    )
-    return loss, {
+    # aux first, loss = its sum: one place to edit a term so the reported
+    # objd_* metrics can never desynchronize from the optimized loss
+    aux = {
         "objd_real": _masked_mean(rf_real, obj_valid),
         "objd_fake": _masked_mean(rf_fake, obj_valid),
         "objd_cls": _masked_mean(cls_ce, obj_valid),
     }
+    return aux["objd_real"] + aux["objd_fake"] + aux["objd_cls"], aux
 
 
 def object_g_loss(
@@ -110,6 +108,14 @@ def object_g_loss(
 def roll_sent(sent_emb: jnp.ndarray) -> jnp.ndarray:
     """Mismatched-caption pairing: roll the batch by one (lineage's wrong
     pairs use shifted indices)."""
+    if sent_emb.shape[0] < 2:
+        # a batch of 1 rolls onto itself: the "mismatched" sentence IS the
+        # matched one, handing the D contradictory cond_real/cond_wrong
+        # targets on identical logits every step. Static shape -> this
+        # fires at trace time, not mid-training.
+        raise ValueError(
+            "wrong-pair loss needs batch size >= 2 (a batch of 1 would "
+            "pair each image with its own caption as the 'mismatch')")
     return jnp.roll(sent_emb, shift=1, axis=0)
 
 

@@ -2,11 +2,14 @@
 Fast R-CNN D (paper §3.4; SURVEY.md §2.3 — reference tree unavailable).
 
 ``DNet`` (one per scale, 64/128/256):
-    strided-conv trunk to a 4x4 grid; emits
-      * unconditional patch logits,
-      * conditional logits given the sentence embedding (tiled + 1x1 fused),
-      * layout-conditional logits given the rasterized layout canvas —
-        Obj-GAN's patch-level layout conditioning.
+    strided-conv trunk to a 4x4 grid; emits TWO heads
+      * "uncond": patch logits from the trunk alone,
+      * "cond": logits given the sentence embedding (tiled + 1x1 fused).
+    Obj-GAN's patch-level layout conditioning enters as the rasterized
+    layout canvas CONCATENATED into the trunk input (``__call__``), so
+    BOTH heads are layout-conditioned — there is deliberately no separate
+    third layout head (one trunk read instead of two; the loss weights in
+    losses/gan_loss.py treat cond/uncond exactly as the lineage's).
 
 ``ObjectDNet``:
     shared conv trunk over the full image -> Pallas ROI-align over the

@@ -27,15 +27,14 @@ weights used for sampling/eval).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.struct
 import jax
 import jax.numpy as jnp
 import optax
 
-from objgan_tpu.core.config import Config
+from objgan_tpu.core.config import Config, validate_config
 from objgan_tpu.train.common import make_multi_step
 from objgan_tpu.losses.damsm_loss import sent_loss, words_loss
 from objgan_tpu.losses.gan_loss import (
@@ -88,9 +87,10 @@ class GanTrainer:
         self.cfg = cfg
         self.ema_decay = ema_decay
         self.g_net = GNet(cfg)
-        if cfg.GAN.D_DTYPE not in ("float32", "compute"):
-            raise ValueError(f"GAN.D_DTYPE must be 'float32' or 'compute', "
-                             f"got {cfg.GAN.D_DTYPE!r}")
+        # cfg.merged() already validates; this covers replace()-built
+        # configs (tests, programmatic callers) with the same single rule
+        # set instead of a drift-prone inline copy of the D_DTYPE check
+        validate_config(cfg)
         d_dt = (jnp.bfloat16 if (cfg.GAN.D_DTYPE == "compute"
                                  and cfg.DTYPE == "bfloat16")
                 else jnp.float32)
