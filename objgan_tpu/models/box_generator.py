@@ -42,7 +42,9 @@ class CaptionEncoder(nn.Module):
         states, _ = BiLSTM(self.hidden_dim, name="bilstm")(emb, cap_lens)
         t = captions.shape[1]
         valid = (jnp.arange(t)[None] < cap_lens[:, None]).astype(states.dtype)
-        mean_state = jnp.sum(states * valid[..., None], 1) / jnp.maximum(
+        # BiLSTM already zeroes padded steps, so summing states directly is
+        # the masked sum; only the denominator needs the mask
+        mean_state = jnp.sum(states, 1) / jnp.maximum(
             jnp.sum(valid, 1, keepdims=True), 1.0
         )
         return states, mean_state, valid
@@ -263,10 +265,10 @@ class BoxGenerator(nn.Module):
                              mode=c.OBJ.GMM_MODE)
             box = jnp.clip(box, 0.0, 1.0)
             lab = jnp.where(alive > 0, lab, STOP).astype(jnp.int32)
+            # one definition: the step's validity IS the next carry's alive
             valid = alive * (lab != STOP)
             box = box * valid[:, None]
-            new_alive = alive * (lab != STOP)
-            return (state, lab, box, new_alive), (lab, box, valid)
+            return (state, lab, box, valid), (lab, box, valid)
 
         scan = nn.scan(
             body,
@@ -287,6 +289,11 @@ class BoxGenerator(nn.Module):
                     beam_size: int | None = None) -> Dict[str, jnp.ndarray]:
         """Beam search over label sequences (the captioning lineage's
         ``CaptionModel`` beam decode), one jittable scan.
+
+        ``rng`` is accepted for call-signature symmetry with :meth:`sample`
+        (callers switch between the two) but is NOT consumed: the decode is
+        fully deterministic — varying the seed cannot produce beam
+        diversity; vary ``beam_size``/temperature sampling for that.
 
         Beams rank by GNMT length-normalized label log-probability
         (``score / ((5+n)/6)^BEAM_LENGTH_NORM`` with n = emitted tokens incl.
@@ -377,14 +384,14 @@ class BoxGenerator(nn.Module):
                            mode=c.OBJ.GMM_MODE)
             box = jnp.clip(box, 0.0, 1.0)
             new_lab = jnp.where(alive > 0, new_lab, STOP)
+            # one definition: the step's validity IS the next carry's alive
             valid = alive * (new_lab != STOP)
             box = box * valid[:, None]
-            new_alive = alive * (new_lab != STOP)
             hist_lab = hist_lab.at[:, step_i].set(new_lab)
             hist_box = hist_box.at[:, step_i].set(box)
             hist_valid = hist_valid.at[:, step_i].set(valid)
             return (
-                (state, new_lab, box, new_alive, top_scores, n_tok,
+                (state, new_lab, box, valid, top_scores, n_tok,
                  hist_lab, hist_box, hist_valid, step_i + 1),
                 (),
             )
@@ -446,8 +453,10 @@ def box_loss(outputs: Dict[str, jnp.ndarray], labels, boxes, obj_valid,
 
     box_valid = obj_valid.astype(jnp.float32)  # == steps<n_obj for prefix
     # masks, and strictly more correct should a non-prefix mask ever appear
+    # box_params is exactly (B, O, P) — only label_logits carries the O+1
+    # STOP step (teacher_forced's contract)
     box_nll = gmm.nll(
-        outputs["box_params"][:, :o], boxes, num_components, box_valid,
+        outputs["box_params"], boxes, num_components, box_valid,
         mode=gmm_mode,
     )
     total = label_loss + box_nll

@@ -30,6 +30,10 @@ class LSTMCell(nn.Module):
     @nn.compact
     def __call__(self, carry, x):
         h, c = carry
+        # cast inputs/carry too, not just the weights: fp32 operands would
+        # otherwise promote the matmuls back to fp32 and a requested
+        # non-default dtype would silently not take effect
+        h, c, x = (a.astype(self.dtype) for a in (h, c, x))
         d = self.features
         w_ih = self.param(
             "w_ih", nn.initializers.lecun_normal(), (x.shape[-1], 4 * d), jnp.float32
