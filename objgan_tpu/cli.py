@@ -101,7 +101,7 @@ def _feed(cfg: Config, data_iter, rng, with_images=True):
     else:
         from objgan_tpu.parallel.sharding import process_local_batch_slice
 
-        _, local_b = process_local_batch_slice(cfg.TRAIN.BATCH_SIZE)
+        slice_start, local_b = process_local_batch_slice(cfg.TRAIN.BATCH_SIZE)
         with _host_cpu():
             host_rng = jax.random.fold_in(rng, jax.process_index())
         for i in itertools.count():
@@ -112,7 +112,12 @@ def _feed(cfg: Config, data_iter, rng, with_images=True):
             with _host_cpu():
                 yield synthetic_batch(
                     cfg, jax.random.fold_in(host_rng, i), local_b,
-                    with_images=with_images
+                    with_images=with_images,
+                    # global-batch slice start -> globally unique class_ids
+                    # (multi-host: otherwise every host emits 0..local_b-1
+                    # and DAMSM's duplicate mask deletes cross-host
+                    # negatives)
+                    id_offset=slice_start,
                 )
 
 
@@ -239,8 +244,15 @@ def _run_loop(cfg, stage, trainer_state, step_fn, feed, writer, manager,
         if manager.latest_step() != at_step:  # collision guard
             ckpt.save(manager, at_step, state)
 
-    def run_single(batch, at_step):
-        batch = shard_batch(mesh, batch)
+    def run_single(batch, at_step, pre_sharded=False):
+        # pre_sharded: the ragged-tail path feeds slices of a stack the
+        # prefetcher already device-placed under P(None, "data") — each
+        # x[k] is then exactly batch-sharded, and re-feeding it through
+        # shard_batch would re-transfer single-host and crash multi-host
+        # (put_global's np.asarray cannot read a non-fully-addressable
+        # global array).
+        if not pre_sharded:
+            batch = shard_batch(mesh, batch)
         if needs_rng:
             return step_fn(state, batch, jax.random.fold_in(rng, at_step))
         return step_fn(state, batch)
@@ -287,19 +299,10 @@ def _run_loop(cfg, stage, trainer_state, step_fn, feed, writer, manager,
                     # overshooting by up to K-1 (segmented recipes key off
                     # exact step counts). Pays the single-step compile only
                     # when max_steps-restored is not a multiple of K.
-                    # NOT run_single: val is already device-placed by the
-                    # prefetcher under P(None, "data"), so x[k] is already
-                    # exactly batch-sharded — re-feeding it through
-                    # shard_batch would re-transfer single-host and crash
-                    # multi-host (put_global's np.asarray cannot read a
-                    # non-fully-addressable global array).
                     for k in range(max_steps - step):
                         bk = jax.tree.map(lambda x, k=k: x[k], val)
-                        if needs_rng:
-                            state, metrics = step_fn(
-                                state, bk, jax.random.fold_in(rng, step))
-                        else:
-                            state, metrics = step_fn(state, bk)
+                        state, metrics = run_single(
+                            bk, step, pre_sharded=True)
                         step += 1
                 else:  # "tail": bounded feed's final partial stack
                     state, metrics = run_single(val, step)

@@ -92,13 +92,16 @@ def grain_feed(
     import grain.python as gp
 
     from objgan_tpu.data.pipeline import (
-        validate_labels, validate_vocab, wire_cache_allowed,
+        validate_image_records, validate_labels, validate_vocab,
+        wire_cache_allowed,
     )
 
     records = list(records)  # materialize once: a one-shot iterator would be
     # exhausted by validate_labels and silently yield an empty dataset
     validate_labels(cfg, records)
     validate_vocab(cfg, vocab)  # CocoFeed.__new__ skips __init__'s check
+    if with_images:
+        validate_image_records(records)  # ditto: __new__ skips this too
     transform = _RecordTransform(
         cfg, vocab, with_images, augment, wire=wire, with_masks=with_masks,
         cacheable=wire_cache_allowed(cfg, len(records),

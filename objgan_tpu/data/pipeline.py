@@ -172,20 +172,7 @@ class CocoFeed:
         validate_vocab(cfg, vocab)
         validate_labels(cfg, self.records)
         if with_images:
-            # batch assembly derives its key set from the first row, so a
-            # dataset MIXING image-carrying and image-less records would
-            # either drop the images key for a whole batch or KeyError
-            # steps later depending on shuffle order — reject it up front
-            # (uniformly image-less records are fine: consistent keys).
-            missing = [i for i, r in enumerate(self.records)
-                       if r.get("image") is None and not r.get("image_file")]
-            if missing and len(missing) != len(self.records):
-                raise ValueError(
-                    f"{len(missing)} of {len(self.records)} records have "
-                    f"neither 'image' nor 'image_file' (first: record "
-                    f"{missing[0]}) — a mixed dataset produces "
-                    f"order-dependent batch structure; fix the manifest or "
-                    f"pass with_images=False")
+            validate_image_records(self.records)
 
     def _load_image(self, rec: Dict) -> Optional[np.ndarray]:
         """Inline array, or lazy-load ``image_file`` (converted COCO
@@ -566,6 +553,27 @@ def validate_labels(cfg: Config, records: Sequence[Dict]) -> None:
             f"must be shifted up by 1), and negative ids (e.g. a -1 "
             f"padding convention) would wrap via label_table[-1]"
         )
+
+
+def validate_image_records(records: Sequence[Dict]) -> None:
+    """Reject a dataset MIXING image-carrying and image-less records.
+
+    Batch assembly (CocoFeed._assemble and grain_feed._collate alike)
+    derives its key set from the first row, so a mixed dataset would either
+    drop the images key for a whole batch or KeyError steps later depending
+    on shuffle order — fail up front instead. Uniformly image-less records
+    are fine: consistent keys. Called by every image-consuming feed
+    (CocoFeed.__init__ and grain_feed — the latter builds its CocoFeed via
+    ``__new__`` and must re-run each init-time check explicitly)."""
+    missing = [i for i, r in enumerate(records)
+               if r.get("image") is None and not r.get("image_file")]
+    if missing and len(missing) != len(records):
+        raise ValueError(
+            f"{len(missing)} of {len(records)} records have "
+            f"neither 'image' nor 'image_file' (first: record "
+            f"{missing[0]}) — a mixed dataset produces "
+            f"order-dependent batch structure; fix the manifest or "
+            f"pass with_images=False")
 
 
 def load_records_json(path: str) -> List[Dict]:

@@ -17,7 +17,8 @@ from objgan_tpu.core.config import Config
 
 
 def synthetic_batch(cfg: Config, rng: jax.Array, batch: int | None = None,
-                    with_images: bool = True) -> Dict[str, jnp.ndarray]:
+                    with_images: bool = True,
+                    id_offset: int = 0) -> Dict[str, jnp.ndarray]:
     b = batch or cfg.TRAIN.BATCH_SIZE
     t = cfg.TEXT.WORDS_NUM
     o = cfg.OBJ.MAX_OBJECTS
@@ -49,7 +50,14 @@ def synthetic_batch(cfg: Config, rng: jax.Array, batch: int | None = None,
     out = {
         "captions": captions,
         "cap_lens": cap_lens,
-        "class_ids": jnp.arange(b, dtype=jnp.int32),  # unique per image
+        # class_ids must be unique per image ACROSS the whole global batch
+        # (DAMSM's class mask drops same-id pairs as duplicates): under
+        # multi-host DP each host generates only its shard, so the caller
+        # passes its global batch-slice start as id_offset — otherwise every
+        # host would emit 0..b-1 and the contrastive losses would silently
+        # mask all cross-host negatives (same contract as CocoFeed's
+        # id_offset/id_stride).
+        "class_ids": id_offset + jnp.arange(b, dtype=jnp.int32),
         "labels": labels,
         "boxes": boxes,
         "shapes": shapes,

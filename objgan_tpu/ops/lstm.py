@@ -51,7 +51,13 @@ class LSTMCell(nn.Module):
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         new_c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
-        return (new_h, new_c), new_h
+        # carry goes back out in the dtype it came in: lax.scan requires a
+        # type-stable carry, and callers (BoxDecoder.init_state et al.)
+        # build fp32 carries — without the cast-back, a non-default cell
+        # dtype would raise a carry-type-mismatch at trace time in every
+        # scanned decode path. No-op when carry dtype == self.dtype.
+        carry_out = (new_h.astype(carry[0].dtype), new_c.astype(carry[1].dtype))
+        return carry_out, new_h
 
     @staticmethod
     def init_carry(batch: int, features: int, dtype=jnp.float32):

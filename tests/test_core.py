@@ -202,6 +202,23 @@ class TestCocoFeed:
         assert batch["images"][-1].max() <= -0.99  # black, i.e. inline won
 
 
+class TestSyntheticFeed:
+    def test_class_ids_globally_unique_via_id_offset(self, tiny_cfg):
+        """Multi-host synthetic feeds must offset class_ids by their global
+        batch-slice start (cli._feed): two hosts both emitting 0..b-1 would
+        collide in DAMSM's duplicate mask and silently delete every
+        cross-host negative from the contrastive losses."""
+        from objgan_tpu.data.synthetic import synthetic_batch
+
+        b0 = synthetic_batch(tiny_cfg, jax.random.PRNGKey(0), 4,
+                             with_images=False)
+        b1 = synthetic_batch(tiny_cfg, jax.random.PRNGKey(1), 4,
+                             with_images=False, id_offset=4)
+        ids = np.concatenate([np.asarray(b0["class_ids"]),
+                              np.asarray(b1["class_ids"])])
+        assert len(set(ids.tolist())) == 8
+
+
 class TestCheckpoint:
     def test_save_restore_roundtrip(self, tmp_path, tiny_cfg):
         from objgan_tpu.core import checkpoint as ckpt

@@ -76,3 +76,15 @@ def test_grain_wire_cache_keys_are_stable_across_epochs(tiny_cfg,
     assert sorted(cache) == list(range(6)), (
         f"expected one entry per record, got keys {sorted(cache)}"
     )
+
+
+def test_grain_feed_rejects_mixed_image_records(tiny_cfg):
+    """grain_feed builds its CocoFeed via __new__, skipping __init__'s
+    validation — the mixed image/image_file check must be re-run explicitly
+    (same reason validate_vocab is), or shuffle order decides between a
+    silently image-less batch and a KeyError steps later."""
+    recs = _records()
+    del recs[2]["image"]
+    vocab = Vocab.build(["a cat number one two three four five"])
+    with pytest.raises(ValueError, match="neither 'image' nor 'image_file'"):
+        grain_feed(tiny_cfg, recs, vocab)

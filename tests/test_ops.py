@@ -369,3 +369,26 @@ class TestRoiAlign:
         out = ra.roi_align_xla(feats, boxes, 4, 2)
         assert out.shape == (1, 1, 4, 4, 2)
         assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestLSTMCellDtype:
+    def test_bf16_cell_scans_with_fp32_carry(self, rng):
+        """A non-default cell dtype must stay lax.scan-compatible with the
+        fp32 carries every caller builds (LSTMCell.init_carry default,
+        BoxDecoder.init_state): the cell computes in self.dtype but returns
+        the carry in the dtype it came in — otherwise every scanned decode
+        path raises a carry-type mismatch at trace time."""
+        from objgan_tpu.ops.lstm import LSTMCell
+
+        cell = LSTMCell(8, dtype=jnp.bfloat16)
+        xs = jax.random.normal(rng, (5, 2, 4))
+        carry0 = LSTMCell.init_carry(2, 8)  # fp32, the repo-wide default
+        params = cell.init(rng, carry0, xs[0])
+
+        def body(carry, x):
+            return cell.apply(params, carry, x)
+
+        (h, c), ys = jax.lax.scan(body, carry0, xs)
+        assert h.dtype == jnp.float32 and c.dtype == jnp.float32
+        assert ys.dtype == jnp.bfloat16  # compute dtype still honored
+        assert np.isfinite(np.asarray(ys, np.float32)).all()
