@@ -143,6 +143,16 @@ class GanConfig:
     # (0.296/0.556) point-for-point from step 3600 on. D logits/losses
     # still reduce in fp32; fp32 attention maps unaffected.
     D_DTYPE: str = "compute"  # "compute" | "float32"
+    # Dtype of the attention CONTEXT contractions in the generator's
+    # attention stages (grid context, object-context paste): "float32"
+    # (rounds 1-4 behavior — contexts materialize in fp32 before the cast
+    # back to compute dtype) or "compute" (contexts contract in cfg.DTYPE,
+    # halving their HBM bytes at 128/256px). The fp32 attention MAPS
+    # invariant (BASELINE.json "bitwise-comparable attention maps") is
+    # about the softmaxed maps, which stay fp32 either way — this knob
+    # only moves the map->context matmul. Round-5 A/B target: the 256px
+    # attention stage is 73% of sampling at 638/819 GB/s (VERDICT r4 #2).
+    OBJ_PASTE_DTYPE: str = "float32"  # "float32" | "compute"
 
 
 @dataclass(frozen=True)
@@ -289,6 +299,9 @@ def validate_config(cfg: "Config") -> "Config":
          f"DTYPE must be 'bfloat16' or 'float32', got {cfg.DTYPE!r}"),
         (cfg.GAN.D_DTYPE in ("float32", "compute"),
          f"GAN.D_DTYPE must be 'float32' or 'compute', got {cfg.GAN.D_DTYPE!r}"),
+        (cfg.GAN.OBJ_PASTE_DTYPE in ("float32", "compute"),
+         f"GAN.OBJ_PASTE_DTYPE must be 'float32' or 'compute', "
+         f"got {cfg.GAN.OBJ_PASTE_DTYPE!r}"),
         (cfg.GAN.UP_MODE in ("nearest", "subpixel"),
          f"GAN.UP_MODE must be 'nearest' or 'subpixel', got {cfg.GAN.UP_MODE!r}"),
         (cfg.GAN.REMAT in ("none", "stages"),

@@ -175,6 +175,8 @@ class AttnStage(nn.Module):
     r_num: int
     dtype: Any = jnp.float32
     up_mode: str = "nearest"
+    ctx_dtype: Any = None  # None = fp32 context contractions (lineage);
+    #                        cfg.GAN.OBJ_PASTE_DTYPE='compute' passes dtype
 
     @nn.compact
     def __call__(self, h, word_embs, word_mask, obj_query, obj_maps, obj_valid):
@@ -185,7 +187,8 @@ class AttnStage(nn.Module):
         words_p = nn.Dense(c, use_bias=False, dtype=self.dtype,
                            name="word_proj")(word_embs)
         grid_ctx, grid_attn = att_ops.grid_attention(
-            h.reshape(b, hh * ww, c), words_p, word_mask
+            h.reshape(b, hh * ww, c), words_p, word_mask,
+            context_dtype=self.ctx_dtype,
         )
         obj_q = nn.Dense(c, use_bias=False, dtype=self.dtype,
                          name="obj_query_proj")(obj_query)
@@ -193,7 +196,8 @@ class AttnStage(nn.Module):
             obj_q, words_p, word_mask, obj_valid
         )
         pasted = att_ops.paste_object_context(
-            obj_ctx, obj_maps.reshape(*obj_maps.shape[:2], hh * ww), obj_valid
+            obj_ctx, obj_maps.reshape(*obj_maps.shape[:2], hh * ww), obj_valid,
+            context_dtype=self.ctx_dtype,
         )
         x = jnp.concatenate(
             [h, grid_ctx.reshape(b, hh, ww, c), pasted.reshape(b, hh, ww, c)],
@@ -249,6 +253,8 @@ class GNet(nn.Module):
         )
         z_c = jnp.concatenate([z.astype(dt), c_code], axis=-1)
 
+        ctx_dt = dt if cfg.GAN.OBJ_PASTE_DTYPE == "compute" else None
+
         # rasterized layout at the base resolution: label embeddings painted
         # into each object's shape, averaged over overlaps.
         shape_maps = rasterize.paste_masks(shapes, boxes, base, base)  # (B,O,S,S)
@@ -256,6 +262,7 @@ class GNet(nn.Module):
             labels_emb.astype(dt),
             shape_maps.reshape(*shape_maps.shape[:2], base * base).astype(dt),
             obj_valid,
+            context_dtype=ctx_dt,
         ).reshape(-1, base, base, labels_emb.shape[-1])
         layout4 = LayoutEncoder(gf * 8, 4, dt, name="layout_enc")(canvas)
 
@@ -284,7 +291,8 @@ class GNet(nn.Module):
                     (b_ * o_, res, res, 1), method="bilinear",
                 ).reshape(b_, o_, res, res)
             h, g_attn, o_attn = Stage(
-                gf, cfg.GAN.R_NUM, dt, cfg.GAN.UP_MODE, name=f"attn_stage{i}"
+                gf, cfg.GAN.R_NUM, dt, cfg.GAN.UP_MODE, ctx_dt,
+                name=f"attn_stage{i}"
             )(h, word_embs.astype(dt), word_mask, obj_query, maps_i, obj_valid)
             res *= 2
             imgs.append(GetImageG(dt, name=f"img{res}")(h))

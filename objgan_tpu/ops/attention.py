@@ -63,17 +63,27 @@ def grid_attention(
     query: jnp.ndarray,  # (B, L, C)  spatial features, L = H*W
     source: jnp.ndarray,  # (B, T, C)  projected word features
     word_mask: Optional[jnp.ndarray] = None,  # (B, T) True where PADDED
+    context_dtype=None,  # None = fp32 contraction (lineage); or cfg.DTYPE
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """AttnGAN grid attention: each location attends over words.
 
     Returns (context (B, L, C) in query dtype, attn (B, L, T) float32).
+
+    ``context_dtype`` moves only the map->context matmul (the attention
+    MAPS stay fp32 — the parity invariant): with e.g. bfloat16 the (B,L,C)
+    context materializes in half the HBM bytes and the contraction runs
+    native MXU passes instead of fp32-HIGHEST. cfg.GAN.OBJ_PASTE_DTYPE.
     """
     q = query.astype(jnp.float32)
     s = source.astype(jnp.float32)
     scores = jnp.einsum("blc,btc->blt", q, s, precision=_HI)  # (B, L, T)
     m = word_mask[:, None, :] if word_mask is not None else None
     attn = masked_softmax(scores, m, axis=-1)
-    context = jnp.einsum("blt,btc->blc", attn, s, precision=_HI)
+    if context_dtype is not None:
+        context = jnp.einsum("blt,btc->blc", attn.astype(context_dtype),
+                             source.astype(context_dtype))
+    else:
+        context = jnp.einsum("blt,btc->blc", attn, s, precision=_HI)
     return context.astype(query.dtype), attn
 
 
@@ -133,17 +143,24 @@ def paste_object_context(
     obj_maps: jnp.ndarray,  # (B, O, L) spatial weights (rasterized shape/box)
     obj_valid: jnp.ndarray,  # (B, O)
     normalize: bool = True,
+    context_dtype=None,  # None = fp32 contraction; or cfg.DTYPE (see above)
 ) -> jnp.ndarray:
     """Paste per-object contexts into the spatial map, spatial-half of object
     attention: out[l] = sum_o m_o[l] * c_o / max(sum_o m_o[l], 1).
 
     Overlapping objects average rather than sum so activations stay bounded.
     Pure batched matmul (B,L,O)x(B,O,C) — MXU-shaped. Returns (B, L, C).
+    ``context_dtype`` as in ``grid_attention`` (the normalizing denominator
+    always accumulates in fp32 — it is O(L) bytes and fuses into the write).
     """
     maps = obj_maps.astype(jnp.float32) * obj_valid.astype(jnp.float32)[..., None]
-    ctx = jnp.einsum("bol,boc->blc", maps, obj_context.astype(jnp.float32),
-                     precision=_HI)
+    if context_dtype is not None:
+        ctx = jnp.einsum("bol,boc->blc", maps.astype(context_dtype),
+                         obj_context.astype(context_dtype))
+    else:
+        ctx = jnp.einsum("bol,boc->blc", maps, obj_context.astype(jnp.float32),
+                         precision=_HI)
     if normalize:
         denom = jnp.maximum(jnp.sum(maps, axis=1), 1.0)  # (B, L)
-        ctx = ctx / denom[..., None]
+        ctx = ctx / denom[..., None].astype(ctx.dtype)
     return ctx.astype(obj_context.dtype)

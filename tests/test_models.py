@@ -82,6 +82,37 @@ class TestGenerator:
         kl = kl_loss(out["mu"], out["logvar"])
         assert bool(jnp.isfinite(kl))
 
+    def test_obj_paste_dtype_compute_finite_and_first_maps_exact(
+            self, tiny_cfg, batch, text_feats):
+        # OBJ_PASTE_DTYPE='compute' moves only the map->context matmuls to
+        # compute dtype; the FIRST attention stage sees identical inputs in
+        # both modes, so its fp32 maps must be bitwise identical (the
+        # parity invariant). Later stages legitimately drift (contexts feed
+        # the features the next maps are computed from).
+        words, sent = text_feats
+        b = batch["captions"].shape[0]
+        z = jax.random.normal(jax.random.PRNGKey(1), (b, tiny_cfg.GAN.Z_DIM))
+        labels_emb = jax.random.normal(
+            jax.random.PRNGKey(2),
+            (b, tiny_cfg.OBJ.MAX_OBJECTS, tiny_cfg.OBJ.LABEL_DIM))
+        word_mask = (jnp.arange(words.shape[1])[None]
+                     >= batch["cap_lens"][:, None])
+        args = (z, sent, words, word_mask, labels_emb, batch["boxes"],
+                batch["shapes"], batch["obj_valid"], jax.random.PRNGKey(4))
+        outs = {}
+        for mode in ("float32", "compute"):
+            cfg = tiny_cfg.merged({"GAN": {"OBJ_PASTE_DTYPE": mode}})
+            g = GNet(cfg)
+            variables = g.init({"params": jax.random.PRNGKey(3)}, *args)
+            outs[mode] = g.apply(variables, *args)
+        for img in outs["compute"]["images"]:
+            assert bool(jnp.all(jnp.isfinite(img)))
+        np.testing.assert_array_equal(
+            np.asarray(outs["float32"]["grid_attn"][0]),
+            np.asarray(outs["compute"]["grid_attn"][0]))
+        for ga in outs["compute"]["grid_attn"]:
+            assert ga.dtype == jnp.float32
+
 
 class TestDiscriminators:
     def test_patch_d_shapes(self, tiny_cfg, batch, text_feats):

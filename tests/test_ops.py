@@ -220,6 +220,32 @@ class TestAttention:
         out = attention.paste_object_context(ctx, maps, valid)
         np.testing.assert_allclose(out, [[[3.0]]])
 
+    def test_context_dtype_keeps_maps_fp32_exact(self, rng):
+        # GAN.OBJ_PASTE_DTYPE='compute': the map->context contraction runs
+        # in compute dtype, but the attention MAPS must be bitwise
+        # identical to the fp32 path (the parity invariant lives on the
+        # maps, not the paste — VERDICT r4 next #2).
+        q = jax.random.normal(rng, (2, 12, 16), jnp.bfloat16)
+        s = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 16), jnp.bfloat16)
+        ctx32, attn32 = attention.grid_attention(q, s, None)
+        ctx16, attn16 = attention.grid_attention(
+            q, s, None, context_dtype=jnp.bfloat16)
+        assert attn16.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(attn32), np.asarray(attn16))
+        assert ctx16.dtype == q.dtype
+        np.testing.assert_allclose(np.asarray(ctx32, np.float32),
+                                   np.asarray(ctx16, np.float32),
+                                   rtol=0.06, atol=0.06)
+
+        octx = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 16))
+        maps = jax.random.uniform(jax.random.PRNGKey(3), (2, 3, 12))
+        valid = jnp.ones((2, 3))
+        p32 = attention.paste_object_context(octx, maps, valid)
+        p16 = attention.paste_object_context(
+            octx, maps, valid, context_dtype=jnp.bfloat16)
+        np.testing.assert_allclose(np.asarray(p32), np.asarray(p16, np.float32),
+                                   rtol=0.06, atol=0.06)
+
 
 class TestRasterize:
     def test_box_maps_area(self):
