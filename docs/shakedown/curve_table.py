@@ -34,6 +34,19 @@ def parse_log(path: str):
                          line)
             if m:
                 row["rprec_ceiling"] = float(m.group(1))
+            m = re.match(r"^Retrieval mean rank \(full pool \d+\): "
+                         r"([\d.]+) \| median ([\d.]+) \| R@5 ([\d.]+)",
+                         line)
+            if m:
+                row["mean_rank"] = float(m.group(1))
+                row["r_at_5"] = float(m.group(3))
+            m = re.match(r"^Retrieval mean rank \(real-image ceiling\): "
+                         r"([\d.]+)", line)
+            if m:
+                row["mean_rank_ceiling"] = float(m.group(1))
+            m = re.match(r"^frozen lite-IS: ([\d.]+) \+/- ([\d.]+)", line)
+            if m:
+                row["frozen_is"] = float(m.group(1))
             m = re.match(r"^eval over (\d+) samples", line)
             if m:
                 row["n"] = int(m.group(1))
@@ -51,10 +64,20 @@ def main(d: str) -> int:
     # the real-image ceiling column appears once any log carries it
     # (r4 evals print it; earlier logs simply show n/a)
     with_ceiling = any("rprec_ceiling" in r for r in rows)
+    # round-5 columns appear once any log carries them (frozen cross-
+    # manifest IS; full-pool retrieval mean rank — VERDICT r4 next #4/#5)
+    with_frozen = any("frozen_is" in r for r in rows)
+    with_rank = any("mean_rank" in r for r in rows)
     hdr = f"| Stage-C step | lite-FID (n={n}) | lite-IS | R-precision |"
     sep = "|---|---|---|---|"
     if with_ceiling:
         hdr += " R-prec ceiling (real) |"
+        sep += "---|"
+    if with_frozen:
+        hdr += " frozen lite-IS |"
+        sep += "---|"
+    if with_rank:
+        hdr += " mean rank (full pool; real) |"
         sep += "---|"
     print(hdr)
     print(sep)
@@ -65,6 +88,13 @@ def main(d: str) -> int:
         if with_ceiling:
             c = r.get("rprec_ceiling")
             line += f" {c:.3f} |" if c is not None else " n/a |"
+        if with_frozen:
+            c = r.get("frozen_is")
+            line += f" {c:.3f} |" if c is not None else " n/a |"
+        if with_rank:
+            c, cc = r.get("mean_rank"), r.get("mean_rank_ceiling")
+            line += (f" {c:.1f}; {cc:.1f} |" if c is not None
+                     and cc is not None else " n/a |")
         print(line)
     return 0
 

@@ -42,6 +42,13 @@ def main():
     ap.add_argument("--force", action="store_true",
                     help="allow --strict without weights (numbers are "
                          "meaningless — random Inception features)")
+    ap.add_argument("--frozen_probe", default=None,
+                    help="frozen cross-manifest lite-IS artifact "
+                         "(tools/freeze_probe.py). Default: "
+                         "assets/frozen_lite.npz when present. 'off' "
+                         "disables. Lite mode only — adds a 'frozen "
+                         "lite-IS' line on one scale across manifests "
+                         "(VERDICT r4 next #4)")
     ap.add_argument("--aug_eval", action="store_true",
                     help="PROTOCOL BISECT ONLY: evaluate on augmented "
                          "(flip + word-dropout) held-out batches — the "
@@ -70,7 +77,7 @@ def main():
     from objgan_tpu.core.config import Config, cfg_from_file
     from objgan_tpu.data.synthetic import synthetic_batch
     from objgan_tpu.train.gan import GanTrainer
-    from objgan_tpu.utils.eval_metrics import r_precision
+    from objgan_tpu.utils.eval_metrics import r_precision, retrieval_stats
     from objgan_tpu.utils.fid_runner import (
         compute_fid_is, make_inception_extractor, make_lite_extractor,
     )
@@ -135,6 +142,25 @@ def main():
         extractor, _ = make_lite_extractor(cfg, params=None)
         mode = "lite (framework encoder)"
 
+    # frozen cross-manifest lite-IS (VERDICT r4 next #4): a second, FROZEN
+    # feature space + class head committed at assets/frozen_lite.npz, so
+    # the IS column is comparable across curves/manifests (the per-run
+    # probe below remains the in-curve column)
+    frozen = None
+    if not args.strict and args.frozen_probe != "off":
+        fp_path = args.frozen_probe or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "assets",
+            "frozen_lite.npz")
+        if os.path.exists(fp_path):
+            from objgan_tpu.tools.freeze_probe import make_frozen_extractor
+
+            fr_extract, fr_probe, fr_meta = make_frozen_extractor(fp_path)
+            frozen = {"extract": fr_extract, "probe": fr_probe,
+                      "path": fp_path, "feats": []}
+        elif args.frozen_probe:
+            print(f"WARNING: --frozen_probe {fp_path} not found — "
+                  "skipping frozen lite-IS", file=sys.stderr)
+
     # Features are extracted INSIDE the generation loop so only (B, D)
     # activation rows stay resident — at the n=2048/256px protocol the
     # pixel batches would otherwise hold ~1.6 GB per side until the end.
@@ -159,6 +185,9 @@ def main():
         fake_acts.append(np.asarray(fa))
         fake_probs.append(np.asarray(fp))
         n_fake += fa.shape[0]
+        if frozen is not None:
+            frozen["feats"].append(np.asarray(
+                frozen["extract"](out["images"][-1])))
         if paired_reals:
             ra, _ = extractor(batch["images"][-1])
             real_acts.append(np.asarray(ra))
@@ -259,14 +288,19 @@ def main():
     fid, (is_m, is_s) = compute_fid_is(
         [], [], extractor, real_stats=real_stats,
         fake_activations=(fake_acts_all, fake_probs_all))
-    rp = r_precision(np.concatenate(sents), np.concatenate(globals_))
+    sents_all = np.concatenate(sents)
+    rp = r_precision(sents_all, np.concatenate(globals_))
     # the GT ceiling: the same metric scored on the REAL images. Bounds
     # what any generator can reach under this protocol/encoder — a fake
     # score near this ceiling means the residual gap to the paper's ~91%
     # is caption-image mutual information, not generator quality
     # (VERDICT r3 weak #5).
-    rp_ceiling = r_precision(np.concatenate(sents),
-                             np.concatenate(globals_real))
+    rp_ceiling = r_precision(sents_all, np.concatenate(globals_real))
+    # full-pool retrieval (VERDICT r4 next #5): R-precision saturated above
+    # the real ceiling on three manifests; mean rank over ALL n captions
+    # keeps discriminating after top-1-of-100 pins
+    rs_fake = retrieval_stats(sents_all, np.concatenate(globals_))
+    rs_real = retrieval_stats(sents_all, np.concatenate(globals_real))
     n = n_fake
     # self-describing labels: lite/untrained numbers must not be mistaken
     # for published-comparable metrics (VERDICT r1 weak #6)
@@ -290,8 +324,26 @@ def main():
               f"values")
     print(f"FID: {fid:.3f}")
     print(f"IS: {is_m:.3f} +/- {is_s:.3f}{is_tag}")
+    if frozen is not None:
+        from objgan_tpu.utils.eval_metrics import (
+            inception_score, probe_probs,
+        )
+
+        fz_m, fz_s = inception_score(
+            probe_probs(frozen["probe"], np.concatenate(frozen["feats"])))
+        print(f"frozen lite-IS: {fz_m:.3f} +/- {fz_s:.3f} "
+              f"[cross-manifest scale — frozen encoder+probe: "
+              f"{os.path.relpath(frozen['path'])}]")
     print(f"R-precision: {rp:.3f}{rp_tag}")
     print(f"R-precision (real-image ceiling): {rp_ceiling:.3f}{rp_tag}")
+    print(f"Retrieval mean rank (full pool {rs_fake['pool']}): "
+          f"{rs_fake['mean_rank']:.2f} | median "
+          f"{rs_fake['median_rank']:.0f} | R@5 "
+          f"{rs_fake['recall_at_5']:.3f}{rp_tag}")
+    print(f"Retrieval mean rank (real-image ceiling): "
+          f"{rs_real['mean_rank']:.2f} | median "
+          f"{rs_real['median_rank']:.0f} | R@5 "
+          f"{rs_real['recall_at_5']:.3f}{rp_tag}")
 
 
 if __name__ == "__main__":

@@ -159,6 +159,47 @@ def probe_probs(probe: dict, feats: np.ndarray) -> np.ndarray:
     return p / p.sum(-1, keepdims=True)
 
 
+def retrieval_stats(
+    sent_embs: np.ndarray,  # (N, D) caption embeddings
+    image_feats: np.ndarray,  # (N, D) matching image global features
+) -> dict:
+    """Full-pool caption->image retrieval: rank every image's TRUE caption
+    against ALL N captions by cosine similarity.
+
+    VERDICT r4 weak #4 / next #5: the 99-distractor R-precision saturated
+    above the real-image ceiling on three manifests (flat +/-0.005 over
+    the last 6k steps) and stopped discriminating late checkpoints. The
+    full pool (n=2048 at the standard protocol) is ~20x harder, and mean
+    rank keeps moving after a top-1 metric pins — it integrates the whole
+    rank distribution instead of thresholding it.
+
+    Rank convention matches ``r_precision``'s strictly-first rule: ties
+    rank BELOW (a collapsed encoder scores mean_rank ~N/2, not 1).
+
+    Returns {"mean_rank", "median_rank", "recall_at_1/5/10", "pool"};
+    mean/median ranks are 1-based (best possible = 1.0).
+    """
+    s = np.asarray(sent_embs, np.float64)
+    g = np.asarray(image_feats, np.float64)
+    s = s / np.clip(np.linalg.norm(s, axis=1, keepdims=True), 1e-12, None)
+    g = g / np.clip(np.linalg.norm(g, axis=1, keepdims=True), 1e-12, None)
+    n = s.shape[0]
+    sims = g @ s.T  # (N images, N candidate captions)
+    true = np.diagonal(sims)
+    # ties count against (>=): the true caption must STRICTLY beat a
+    # candidate to outrank it. Self always ties itself, which contributes
+    # exactly the +1 that makes ranks 1-based.
+    ranks = (sims >= true[:, None]).sum(1)
+    return {
+        "mean_rank": float(ranks.mean()),
+        "median_rank": float(np.median(ranks)),
+        "recall_at_1": float((ranks <= 1).mean()),
+        "recall_at_5": float((ranks <= 5).mean()),
+        "recall_at_10": float((ranks <= 10).mean()),
+        "pool": int(n),
+    }
+
+
 def r_precision(
     sent_embs: np.ndarray,  # (N, D) caption embeddings
     image_feats: np.ndarray,  # (N, D) matching image global features

@@ -272,3 +272,55 @@ def test_probe_npz_roundtrip_preserves_probs(tmp_path):
     np.testing.assert_array_equal(probe_probs(loaded, feats),
                                   probe_probs(probe, feats))
     assert float(loaded["train_acc"]) == probe["train_acc"]
+
+
+def test_retrieval_stats_perfect_collapsed_and_partial():
+    from objgan_tpu.utils.eval_metrics import retrieval_stats
+
+    rng = np.random.default_rng(3)
+    feats = rng.normal(size=(40, 16))
+    # perfect alignment: every true caption ranks first
+    rs = retrieval_stats(feats, feats)
+    assert rs["mean_rank"] == 1.0 and rs["recall_at_1"] == 1.0
+    assert rs["pool"] == 40
+    # collapsed embeddings: all similarities tie -> worst rank everywhere,
+    # never a spurious 1.0 (the tie-below convention)
+    ones = np.ones((40, 16))
+    rs_c = retrieval_stats(ones, ones)
+    assert rs_c["mean_rank"] == 40.0 and rs_c["recall_at_1"] == 0.0
+    # unrelated embeddings: mean rank near the pool middle, far from 1
+    rs_r = retrieval_stats(rng.normal(size=(40, 16)), feats)
+    assert 5.0 < rs_r["mean_rank"] < 40.0
+    assert rs_r["recall_at_1"] < 0.5
+    # noisy-but-aligned sits between perfect and random AND keeps moving
+    # as noise shrinks (the discrimination property R-precision lost)
+    noisy_hi = retrieval_stats(feats + 0.8 * rng.normal(size=(40, 16)),
+                               feats)
+    noisy_lo = retrieval_stats(feats + 0.2 * rng.normal(size=(40, 16)),
+                               feats)
+    assert 1.0 <= noisy_lo["mean_rank"] < noisy_hi["mean_rank"]
+
+
+def test_frozen_artifact_roundtrip(tmp_path):
+    from objgan_tpu.tools.freeze_probe import (
+        load_frozen_artifact, save_frozen_artifact,
+    )
+
+    rng = np.random.default_rng(0)
+    enc_params = {"params": {"conv": {"kernel": rng.normal(
+        size=(3, 3, 3, 8)).astype(np.float32)}}}
+    probe = {"w": rng.normal(size=(8, 5)), "b": np.zeros(5),
+             "mu": np.zeros(8), "sd": np.ones(8),
+             "train_acc": np.float64(0.9), "holdout_acc": np.float64(0.8)}
+    p = str(tmp_path / "frozen.npz")
+    save_frozen_artifact(p, enc_params, probe, embedding_dim=8,
+                         image_size=16, n_classes=5)
+    params2, probe2, meta = load_frozen_artifact(p)
+    np.testing.assert_array_equal(
+        params2["params"]["conv"]["kernel"],
+        enc_params["params"]["conv"]["kernel"])
+    np.testing.assert_array_equal(probe2["w"], probe["w"])
+    assert meta == {"embedding_dim": 8, "image_size": 16, "n_classes": 5,
+                    "backbone": "lite"}
+    assert not any(f.endswith(".tmp.npz") for f in
+                   __import__("os").listdir(tmp_path))
