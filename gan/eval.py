@@ -49,6 +49,15 @@ def main():
                          "disables. Lite mode only — adds a 'frozen "
                          "lite-IS' line on one scale across manifests "
                          "(VERDICT r4 next #4)")
+    ap.add_argument("--eval_seed", type=int, default=None,
+                    help="override the seed for the eval-time stochastic "
+                         "draws ONLY (held-out batch order + sampling "
+                         "latents). The B_VALIDATION split, parameter "
+                         "init, and real-side FID statistics stay pinned "
+                         "to cfg.RNG_SEED. Re-scoring one checkpoint "
+                         "under several --eval_seed values measures the "
+                         "protocol's noise floor — the error bar any "
+                         "cross-checkpoint FID delta must clear")
     ap.add_argument("--aug_eval", action="store_true",
                     help="PROTOCOL BISECT ONLY: evaluate on augmented "
                          "(flip + word-dropout) held-out batches — the "
@@ -88,6 +97,14 @@ def main():
     # TRAIN split (box_generation/sample.py --eval does the same override).
     cfg = cfg.merged({"TRAIN": {"FLAG": False}})
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    # --eval_seed varies the eval draws only; init/restore keep cfg.RNG_SEED
+    # (restore overwrites init anyway when a checkpoint exists)
+    sample_rng = rng
+    if args.eval_seed is not None:
+        sample_rng = jax.random.PRNGKey(args.eval_seed)
+        print(f"eval_seed: {args.eval_seed} (held-out batch order + "
+              f"latents only; split/init/real-side stats stay at "
+              f"cfg.RNG_SEED={cfg.RNG_SEED})")
     trainer = GanTrainer(cfg)
     feed, _, feed_vocab = build_feed(cfg, args)
 
@@ -97,7 +114,7 @@ def main():
         else:
             i = 0
             while True:
-                yield synthetic_batch(cfg, jax.random.fold_in(rng, i))
+                yield synthetic_batch(cfg, jax.random.fold_in(sample_rng, i))
                 i += 1
 
     it = batches()
@@ -180,7 +197,8 @@ def main():
     for i, batch in enumerate(itertools.chain([first], it)):
         if i >= args.num_batches:
             break
-        out = sample_jit(state, batch, jax.random.fold_in(rng, 1000 + i))
+        out = sample_jit(state, batch,
+                         jax.random.fold_in(sample_rng, 1000 + i))
         fa, fp = extractor(out["images"][-1])
         fake_acts.append(np.asarray(fa))
         fake_probs.append(np.asarray(fp))

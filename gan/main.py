@@ -82,14 +82,22 @@ def build_feed(cfg, args, with_images=True, with_masks=True):
         # much the r3 augmentation-free fix itself moved the curve.
         augment = bool(cfg.TRAIN.FLAG) or bool(getattr(args, "aug_eval",
                                                        False))
+        # gan/eval.py --eval_seed: vary ONLY the eval-time stochastic draws
+        # (held-out batch order here; latents in eval.py). The train/val
+        # SPLIT above stays pinned to cfg.RNG_SEED — an override must never
+        # move records across the split (that would leak train records into
+        # the held-out metrics, not measure protocol noise).
+        feed_seed = getattr(args, "eval_seed", None)
+        if feed_seed is None:
+            feed_seed = cfg.RNG_SEED
         if getattr(args, "grain", False):
             from objgan_tpu.data.grain_feed import grain_feed
 
-            return grain_feed(feed_cfg, records, vocab, seed=cfg.RNG_SEED,
+            return grain_feed(feed_cfg, records, vocab, seed=feed_seed,
                               with_images=with_images, with_masks=with_masks,
                               augment=augment, wire=wire, id_offset=id_offset,
                               id_stride=id_stride), n_global, vocab
-        return iter(CocoFeed(feed_cfg, records, vocab, seed=cfg.RNG_SEED,
+        return iter(CocoFeed(feed_cfg, records, vocab, seed=feed_seed,
                              with_images=with_images, with_masks=with_masks,
                              augment=augment, wire=wire, id_offset=id_offset,
                              id_stride=id_stride)), n_global, vocab

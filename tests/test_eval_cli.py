@@ -113,3 +113,47 @@ def test_lite_eval_manifest_all_mode_caches_stats_and_probe(tmp_path):
     assert r2.returncode == 0, (r2.stdout[-2000:], r2.stderr[-3000:])
     assert f"real-side stats: cached ({stats[0]})" in r2.stdout
     assert f"lite-IS probe: cached ({probes[0]})" in r2.stdout
+
+
+def test_eval_seed_varies_draws_but_not_the_split(tmp_path):
+    """--eval_seed (round-5 noise-floor tool): re-scoring one checkpoint
+    under different eval seeds must (a) keep the B_VALIDATION split
+    byte-identical (an override that moved records across the split would
+    leak train data into held-out metrics), (b) actually vary the draws —
+    different latents => different FID. This is what turns a cross-
+    checkpoint FID delta into signal: it must clear the seed-to-seed bar."""
+    from objgan_tpu.data.procedural import build_manifest
+
+    data_dir = tmp_path / "proc20"
+    manifest = build_manifest(str(data_dir), 20, 64, seed=1)
+
+    cfg = tmp_path / "tiny.yml"
+    yml = TINY_YML.replace("NUM_CLASSES: 7\n", "NUM_CLASSES: 81\n")
+    cfg.write_text(yml
+                   + f"OUTPUT_DIR: {tmp_path}\nDATA_DIR: {data_dir}\n"
+                   + "B_VALIDATION: True\n")
+
+    def run(seed):
+        cmd = [sys.executable, "-c",
+               "import jax; jax.config.update('jax_platforms','cpu');"
+               "import runpy,sys; sys.argv = sys.argv[1:];"
+               "runpy.run_path(sys.argv[0], run_name='__main__')",
+               os.path.join(REPO, "gan", "eval.py"),
+               "--cfg", str(cfg), "--num_batches", "1",
+               "--manifest", manifest, "--eval_seed", str(seed)]
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=900,
+                           cwd=REPO)
+        assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+        return r.stdout
+
+    out1, out2 = run(11), run(22)
+    for out, seed in ((out1, 11), (out2, 22)):
+        assert f"eval_seed: {seed} (held-out batch order + latents" in out
+        # split pinned to cfg.RNG_SEED regardless of the override
+        assert "B_VALIDATION split: 18 train / 2 held-out" in out, out
+
+    def fid(out):
+        return float([ln for ln in out.splitlines()
+                      if ln.startswith("FID:")][0].split()[1])
+
+    assert fid(out1) != fid(out2), (fid(out1), out1)
