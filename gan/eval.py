@@ -49,6 +49,13 @@ def main():
                          "disables. Lite mode only — adds a 'frozen "
                          "lite-IS' line on one scale across manifests "
                          "(VERDICT r4 next #4)")
+    ap.add_argument("--raw_params", action="store_true",
+                    help="sample with the RAW (last-step) generator "
+                         "params instead of the EMA params the protocol "
+                         "defaults to. Scoring one checkpoint both ways "
+                         "isolates the EMA generator's quality "
+                         "contribution (train/gan.py keeps both trees in "
+                         "the train state)")
     ap.add_argument("--eval_seed", type=int, default=None,
                     help="override the seed for the eval-time stochastic "
                          "draws ONLY (held-out batch order + sampling "
@@ -198,7 +205,8 @@ def main():
         if i >= args.num_batches:
             break
         out = sample_jit(state, batch,
-                         jax.random.fold_in(sample_rng, 1000 + i))
+                         jax.random.fold_in(sample_rng, 1000 + i),
+                         use_ema=not args.raw_params)
         fa, fp = extractor(out["images"][-1])
         fake_acts.append(np.asarray(fa))
         fake_probs.append(np.asarray(fp))
@@ -331,6 +339,8 @@ def main():
                   "NOT comparable to published IS]")
     rp_tag = "" if encoders_trained else (
         " [untrained encoders — meaningless until DAMSM is pretrained]")
+    if args.raw_params:
+        mode += "; RAW generator params (EMA bypassed)"
     print(f"eval over {n} samples [{mode}]")
     if n_real_unique is not None:
         print(f"real-side FID statistics: full manifest, {n_real_unique} "
